@@ -1,0 +1,260 @@
+"""HTML / RSS / Atom extraction (SURVEY.md §2 A12-A14).
+
+Reference behavior [PK]: opps-feedcrawler's processors call feedparser, which
+fetches+parses a feed and maps item fields (title, link, guid, published)
+onto CMS Post rows (SURVEY.md §1.1). This module re-expresses that as pure
+functions over raw page bytes, wrapped in Arrow-batched pandas UDFs
+(BASELINE.json:16 — "feed/HTML extraction ... done entirely in pandas UDFs
+with no per-row Python").
+
+The pure functions (``extract_text_py`` etc.) are the SINGLE source of truth:
+the synthetic-corpus generator derives pages.text from them and the test
+oracle calls them directly, making the "byte-identical extracted text per
+url" invariant (BASELINE.json:16) checkable with ``bytes ==``.
+
+Only stdlib parsers are used (html.parser, xml.etree.ElementTree) — neither
+feedparser nor lxml exists in the environment (SURVEY.md [ENV]).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from email.utils import parsedate_to_datetime
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from ..schemas import ENTRY_STRUCT
+
+_FEED_SNIFF = re.compile(rb"<\s*(rss|feed)[\s>]", re.IGNORECASE)
+_ATOM_NS = "{http://www.w3.org/2005/Atom}"
+
+# Elements whose text is boilerplate, never content (A13 spec, pinned).
+_SKIP_TAGS = frozenset(
+    {"script", "style", "nav", "header", "footer", "aside", "noscript", "head", "title"}
+)
+_WS = re.compile(r"\s+")
+
+
+def _decode(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def is_feed(html: bytes | str | None) -> bool:
+    if html is None:
+        return False
+    raw = bytes(html) if isinstance(html, (bytes, bytearray)) else html.encode()
+    return _FEED_SNIFF.search(raw[:2048]) is not None
+
+
+class _TextExtractor(HTMLParser):
+    """Boilerplate-stripping text extractor: drops _SKIP_TAGS subtrees,
+    keeps the rest, collapses whitespace."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._chunks: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data.strip():
+            self._chunks.append(data)
+
+    def text(self) -> str:
+        return _WS.sub(" ", " ".join(self._chunks)).strip()
+
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+def _parse_xml(doc: str):
+    import xml.etree.ElementTree as ET
+
+    try:
+        return ET.fromstring(doc)
+    except ET.ParseError:
+        return None
+
+
+def _feed_items(root):
+    """Yield (guid, title, link, published_raw, summary) per RSS item /
+    Atom entry. Field mapping mirrors feedparser's (behavior-level [PK])."""
+    if root is None:
+        return
+    tag = root.tag.lower()
+    if tag.endswith("rss") or tag.endswith("rdf"):
+        for item in root.iter("item"):
+            yield (
+                _xml_text(item, "guid"),
+                _xml_text(item, "title"),
+                _xml_text(item, "link"),
+                _xml_text(item, "pubDate"),
+                _xml_text(item, "description"),
+            )
+    elif tag.endswith("feed"):
+        for entry in root.iter(f"{_ATOM_NS}entry"):
+            link = None
+            for el in entry.findall(f"{_ATOM_NS}link"):
+                if el.get("rel") in (None, "alternate"):
+                    link = el.get("href")
+                    break
+            yield (
+                _xml_text(entry, f"{_ATOM_NS}id"),
+                _xml_text(entry, f"{_ATOM_NS}title"),
+                link,
+                _xml_text(entry, f"{_ATOM_NS}updated"),
+                _xml_text(entry, f"{_ATOM_NS}summary"),
+            )
+
+
+def _xml_text(el, tag: str) -> str | None:
+    child = el.find(tag)
+    if child is None or child.text is None:
+        return None
+    return child.text.strip()
+
+
+def parse_feed_datetime(raw: str | None) -> datetime | None:
+    """RFC-822 (RSS pubDate) or ISO-8601 (Atom updated) → naive UTC."""
+    if not raw:
+        return None
+    try:
+        dt = parsedate_to_datetime(raw)
+    except (TypeError, ValueError):
+        try:
+            dt = datetime.fromisoformat(raw.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# Pure extraction functions — shared by generator / oracle / engine UDFs.
+# ---------------------------------------------------------------------------
+
+
+def extract_text_py(html: bytes | str | None) -> str:
+    """A13: deterministic boilerplate-stripped text, byte-identical everywhere
+    (BASELINE.json:16). Feeds yield 'title — summary' lines; HTML yields
+    whitespace-collapsed non-boilerplate text."""
+    doc = _decode(html)
+    if not doc:
+        return ""
+    if is_feed(doc):
+        root = _parse_xml(doc)
+        parts: list[str] = []
+        for _guid, title, _link, _pub, summary in _feed_items(root):
+            seg = " — ".join(s for s in (title, summary) if s)
+            if seg:
+                parts.append(seg)
+        return "\n".join(parts)
+    p = _TextExtractor()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        pass
+    return p.text()
+
+
+def extract_links_py(html: bytes | str | None, base_url: str | None) -> list[str]:
+    """A14: outgoing links (raw, pre-canonicalization), relative resolved
+    against base_url; feed item links included. Order = document order,
+    deduped first-wins (determinism for crawl ordering)."""
+    doc = _decode(html)
+    if not doc:
+        return []
+    hrefs: list[str] = []
+    if is_feed(doc):
+        for _guid, _title, link, _pub, _summary in _feed_items(_parse_xml(doc)):
+            if link:
+                hrefs.append(link)
+    else:
+        p = _LinkExtractor()
+        try:
+            p.feed(doc)
+            p.close()
+        except Exception:
+            pass
+        hrefs = p.hrefs
+    out: list[str] = []
+    seen: set[str] = set()
+    for h in hrefs:
+        try:
+            absolute = urljoin(base_url or "", h)
+        except ValueError:
+            continue
+        if absolute and absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out
+
+
+def extract_entries_py(html: bytes | str | None) -> list[dict]:
+    """A12: RSS/Atom entries as dicts matching schemas.ENTRY_STRUCT.
+    guid falls back to link (the reference dedups by link when guid is
+    absent — behavior-level [PK])."""
+    doc = _decode(html)
+    if not doc or not is_feed(doc):
+        return []
+    out = []
+    for guid, title, link, pub_raw, summary in _feed_items(_parse_xml(doc)):
+        out.append(
+            {
+                "entry_guid": guid or link,
+                "title": title,
+                "link": link,
+                "published_ts": parse_feed_datetime(pub_raw),
+                "summary": summary,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched UDF wrappers (B32) — the only Python in the data path.
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links_py(h, b) for h, b in zip(html, base_url)], dtype=object
+    )
+
+
+@pandas_udf(ArrayType(ENTRY_STRUCT))
+def extract_entries_udf(html: pd.Series) -> pd.Series:
+    return pd.Series([extract_entries_py(h) for h in html], dtype=object)

@@ -1,0 +1,162 @@
+"""URL canonicalization, hashing and host-salting (SURVEY.md §2 A2-A4).
+
+Reference behavior (behavior-level [PK], SURVEY.md §1.1): the reference dedups
+entries by exact link lookup in an RDBMS; canonicalization is implicit. The
+north star makes it explicit: "canonicalized+murmur3-hashed URLs"
+(BASELINE.json:6). ``canonicalize_url`` below is THE canonical form — the
+single pure function shared by the engine's pandas UDF, the synthetic-corpus
+generator, and the single-threaded test oracle, so byte-level agreement
+between them is by construction.
+
+Canonicalization spec (RFC 3986 §6 normalizations, pinned):
+  1. trim surrounding whitespace
+  2. scheme lowercased; only http/https survive (else -> None)
+  3. userinfo dropped; host lowercased, trailing dot stripped
+  4. default port dropped (http:80, https:443)
+  5. path: percent-decode unreserved chars, dot-segments resolved,
+     empty path -> "/", trailing slash stripped unless root
+  6. query: tracking params dropped (utm_*, fbclid, gclid, ref, mc_eid),
+     remaining pairs sorted by (key, value), re-encoded
+  7. fragment dropped
+Idempotent: canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)
+(property-tested in tests/test_urlnorm.py).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote, urlsplit
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Number of salt shards a single hot host is spread over for the politeness
+# window (SURVEY.md §4.2.1 — AQE does not split skewed *window* partitions,
+# so the salt column is load-bearing at 10^10-URL scale, BASELINE.json:6).
+NSALTS = 16
+
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = frozenset({"fbclid", "gclid", "ref", "mc_eid"})
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# RFC 3986 unreserved + sub-delims + path chars we keep literal on re-quote.
+_SAFE_PATH = "/:@!$&'()*+,;=~-._"
+_SAFE_QUERY = ":@!$&'()*+,;=~-._/?"
+
+
+def _normalize_path(path: str) -> str:
+    """Resolve dot-segments (RFC 3986 §5.2.4) and normalize percent-encoding."""
+    if not path:
+        return "/"
+    path = quote(unquote(path), safe=_SAFE_PATH)
+    segments: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if segments and segments[-1] != "":
+                segments.pop()
+            continue
+        segments.append(seg)
+    out = "/".join(segments)
+    if not out.startswith("/"):
+        out = "/" + out
+    if len(out) > 1 and out.endswith("/"):
+        out = out.rstrip("/") or "/"
+    return out
+
+
+def _normalize_query(query: str) -> str:
+    if not query:
+        return ""
+    pairs: list[tuple[str, str]] = []
+    for part in query.split("&"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        k_dec = unquote(k)
+        if k_dec.lower().startswith(_TRACKING_PREFIXES) or k_dec.lower() in _TRACKING_KEYS:
+            continue
+        pairs.append(
+            (quote(k_dec, safe=_SAFE_QUERY), quote(unquote(v), safe=_SAFE_QUERY))
+        )
+    pairs.sort()
+    return "&".join(f"{k}={v}" if v else k for k, v in pairs)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Pure canonical form; None for non-http(s)/unparseable input."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc = f"{host}:{port}"
+    path = _normalize_path(parts.path)
+    query = _normalize_query(parts.query)
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def host_of(url_norm: str | None) -> str | None:
+    """Canonical host (incl. non-default port) of an already-canonical URL."""
+    if url_norm is None:
+        return None
+    rest = url_norm.split("://", 1)[-1]
+    return rest.split("/", 1)[0]
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalization (B32). URL parsing is not expressible
+    in native Spark SQL functions with RFC 3986 fidelity; this is one of the
+    sanctioned Python boundaries (BASELINE.json:16)."""
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+def host_col(url_norm: Column) -> Column:
+    """Native (JVM-side) host extraction from an already-canonical URL —
+    no UDF needed post-canonicalization."""
+    return F.regexp_extract(url_norm, r"^https?://([^/]+)", 1)
+
+
+def with_url_cols(
+    df: DataFrame, url_col: str = "url", nsalts: int = NSALTS
+) -> DataFrame:
+    """Append url_norm / host / url_hash / host_hash / salt (A2-A4).
+
+    - url_hash  = xxhash64(url_norm)      (64-bit, JVM-side)
+    - host_hash = F.hash(host)            (Spark's F.hash IS murmur3 x86_32,
+                                           BASELINE.json:6 "murmur3-hashed")
+    - salt      = pmod(url_hash, nsalts)  varies WITHIN a host so one
+                                           mega-host spreads over nsalts tasks
+    Rows whose URL fails canonicalization are dropped (invalid scheme etc.).
+    """
+    out = (
+        df.withColumn("url_norm", canonicalize_udf(F.col(url_col)))
+        .filter(F.col("url_norm").isNotNull())
+        .withColumn("host", host_col(F.col("url_norm")))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+        .withColumn("host_hash", F.hash("host"))
+        .withColumn("salt", F.pmod(F.col("url_hash"), F.lit(nsalts)).cast("int"))
+    )
+    return out

@@ -1,0 +1,74 @@
+"""Per-host politeness budgets as window-ranked token buckets
+(SURVEY.md §2 A8-A9; BASELINE.json:6 "per-host politeness budgets ...
+enforced as window-ranked per-partition token buckets").
+
+Reference behavior [PK]: one poll per feed per Celery-beat tick, feeds
+processed serially — the per-host budget generalizes that to a per-round
+token count derived from robots crawl_delay.
+
+Skew design (SURVEY.md §4.2.1): a zipfian web has mega-hosts; a window
+partitioned by host alone serializes them onto one task, and AQE does NOT
+split skewed window partitions. The politeness window therefore runs in two
+phases over the salt column (salt = pmod(url_hash, NSALTS), varies WITHIN a
+host):
+
+  phase 1  Window(host, salt)  → per-salt top-`budget`   (parallel, bounded)
+  phase 2  Window(host)        → exact top-`budget` over ≤ NSALTS·budget rows
+
+Phase 2's input per host is capped at NSALTS·budget rows regardless of how
+hot the host is, so the result is EXACTLY the unsalted per-host top-k (the
+determinism/ordering contract of BASELINE.json:6,14) while the heavy scan
+parallelizes. Total order everywhere: (priority DESC, url_norm ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY = 1.0
+BUDGET_BASE = 10.0
+MAX_BUDGET = 50
+
+
+def budget_for_delay(crawl_delay: float | None) -> int:
+    """Per-round token count for a host. Pure; shared verbatim with the
+    single-threaded oracle (tests/oracle_crawler.py) so scheduled sets match."""
+    if crawl_delay is None or crawl_delay <= 0:
+        crawl_delay = DEFAULT_CRAWL_DELAY
+    return max(1, min(MAX_BUDGET, int(BUDGET_BASE / crawl_delay)))
+
+
+def priority_col() -> F.Column:
+    """A8: deterministic priority — shallower pages first. Pure function of
+    depth so resume/replay reproduce identical orders (BASELINE.json:6)."""
+    return 1.0 / (1.0 + F.col("depth").cast("double"))
+
+
+def schedule_budgeted(frontier: DataFrame, budget_col: str = "budget") -> DataFrame:
+    """Take the per-host top-`budget` frontier rows by (priority DESC,
+    url_norm) using the salted two-phase window. Expects columns:
+    host, salt, priority, url_norm, <budget_col>."""
+    order = [F.col("priority").desc(), F.col("url_norm").asc()]
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    pre = (
+        frontier.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= F.col(budget_col))
+        .drop("_rn")
+    )
+    return (
+        pre.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= F.col(budget_col))
+        .drop("_rn")
+    )
+
+
+def with_global_sequence(scheduled: DataFrame, round_no: int) -> DataFrame:
+    """Assign the round-global schedule order seq (1-based) by
+    (priority DESC, url_norm) — the operational definition of "crawl
+    ordering matches the reference" (SURVEY.md §4.2.2; BASELINE.json:6,14)."""
+    w = Window.orderBy(F.col("priority").desc(), F.col("url_norm").asc())
+    return scheduled.withColumn("seq", F.row_number().over(w)).withColumn(
+        "round", F.lit(round_no)
+    )

@@ -1,0 +1,110 @@
+"""robots.txt rule filtering (SURVEY.md §2 A10; RFC 9309 longest-match).
+
+Not present in the reference (feeds are opt-in sources [PK]); mandated by
+BASELINE.json:6,14 ("per-host politeness budgets and robots.txt rules").
+
+Matching semantics (pinned, shared with the oracle):
+- rules are (allow bool, prefix string) pairs per host;
+- the rule with the LONGEST matching prefix wins (RFC 9309 §2.2.2);
+- on equal length, allow wins;
+- no matching rule / no rules / unknown host → allowed.
+
+The Spark implementation is FULLY native (JVM-side higher-order array
+functions — zero Python): matched rules become (len(prefix), allow) structs
+and array_max picks the lexicographic winner, which is exactly
+longest-prefix-then-allow. A robots.txt *parser* (text → rules) is provided
+for ingestion; at crawl time rules live in the structured robots table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .politeness import DEFAULT_CRAWL_DELAY
+
+
+def robots_allowed(path: str, rules: list | None) -> bool:
+    """Pure-Python twin of the native expression (oracle + property tests)."""
+    if not rules:
+        return True
+    best_len = -1
+    best_allow = True
+    for r in rules:
+        allow, prefix = (
+            (r["allow"], r["prefix"]) if isinstance(r, dict) else (r.allow, r.prefix)
+        )
+        if prefix is not None and path.startswith(prefix):
+            plen = len(prefix)
+            if plen > best_len or (plen == best_len and allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
+
+
+def parse_robots_txt(text: str) -> dict:
+    """Minimal RFC 9309 parser for the `*` user-agent group:
+    returns {"crawl_delay": float|None, "rules": [{"allow","prefix"}...]}.
+    Only the wildcard group is honored (this engine identifies as a generic
+    crawler, as the reference's feedparser-based fetcher does [PK])."""
+    crawl_delay = None
+    rules: list[dict] = []
+    in_star_group = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            in_star_group = value == "*"
+        elif in_star_group and key in ("allow", "disallow"):
+            if value:
+                rules.append({"allow": key == "allow", "prefix": value})
+        elif in_star_group and key == "crawl-delay":
+            try:
+                crawl_delay = float(value)
+            except ValueError:
+                pass
+    return {"crawl_delay": crawl_delay, "rules": rules}
+
+
+def with_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Left-broadcast-join robots onto the frontier by host and evaluate the
+    longest-prefix-match verdict natively. Adds:
+      allowed boolean, crawl_delay double (defaulted when host unknown).
+
+    Scale note: robots rows are one-per-host — small relative to the
+    frontier even at 10^8 hosts (~GBs), so broadcast is the right default;
+    drop the hint to fall back to a shuffle join beyond that.
+    """
+    path = F.regexp_replace(F.col("url_norm"), r"^https?://[^/]+", "")
+    matched = F.filter(
+        F.col("rules"),
+        lambda r: F.startswith(path, r["prefix"]),
+    )
+    # (len, allow) struct; array_max = lexicographic max = longest prefix,
+    # ties broken toward allow=true (false < true).
+    verdict = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"), r["allow"].alias("a")
+            ),
+        )
+    )
+    return (
+        frontier.join(F.broadcast(robots), "host", "left")
+        .withColumn(
+            "allowed",
+            F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
+                F.coalesce(verdict["a"], F.lit(True))
+            ),
+        )
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)),
+        )
+        .drop("rules")
+    )

@@ -1,0 +1,143 @@
+"""Distributed URL-seen bloom filter (SURVEY.md §2 A5-A7).
+
+Reference behavior [PK]: per-entry existence query by link before insert
+(SURVEY.md §1.1 "Seen-set"). North star: "a distributed bloom/cuckoo
+URL-seen filter built via vectorized Arrow UDFs over canonicalized+
+murmur3-hashed URLs" (BASELINE.json:6).
+
+Design: the url_hash space is range-partitioned into NBUCKETS buckets
+(bucket = pmod(url_hash, NBUCKETS)); each bucket owns an m-bit bloom bitset
+built by a grouped-map Arrow UDF (numpy bit ops — vectorized, no per-row
+Python). Probing cogroups candidates with their bucket's bitset.
+
+Exactness contract (SURVEY.md §4.2.3): the final URL-seen set must MATCH the
+reference's exactly (BASELINE.json:6,14), so the bloom is strictly a
+work-skipping PRE-filter — a positive may only route the candidate into the
+exact anti-join (A7); a negative (guaranteed-correct: no false negatives)
+skips the join probe. Membership truth is always the exact anti-join.
+
+Scale note (10^10 URLs): NBUCKETS and BITS_PER_BUCKET are independent knobs;
+at 10^10 URLs with a 1% FP target you want ~12 GiB of bitset total — e.g.
+NBUCKETS=8192 × 16 MiB buckets spread over the cluster, each bucket built
+map-side by its shuffle partition. The bitset table is itself a DataFrame,
+so it persists/checkpoints like any other table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NBUCKETS = 64
+BITS_PER_BUCKET = 1 << 17  # 16 KiB per bucket at test scale
+N_HASHES = 4
+
+
+def _positions(hashes: np.ndarray, m: int) -> np.ndarray:
+    """(n, N_HASHES) bit positions via splitmix64-style remixes of the
+    64-bit url_hash. Vectorized numpy; pure function of the hash."""
+    h = hashes.astype(np.uint64)
+    out = np.empty((h.shape[0], N_HASHES), dtype=np.int64)
+    z = h.copy()
+    for i in range(N_HASHES):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        x = z.copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        out[:, i] = (x % np.uint64(m)).astype(np.int64)
+    return out
+
+
+def with_bucket(df: DataFrame, nbuckets: int = NBUCKETS) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(nbuckets)).cast("int")
+    )
+
+
+def build_seen_bloom(
+    seen: DataFrame,
+    nbuckets: int = NBUCKETS,
+    bits: int = BITS_PER_BUCKET,
+) -> DataFrame:
+    """seen(url_hash) → bloom(bucket int, bitset binary). One grouped-map
+    Arrow UDF per bucket; inside, pure numpy (np.bitwise_or.at)."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(bits // 8, dtype=np.uint8)
+        pos = _positions(pdf["url_hash"].to_numpy(), bits).ravel()
+        np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bitset": [arr.tobytes()]}
+        )
+
+    return (
+        with_bucket(seen.select("url_hash"), nbuckets)
+        .groupBy("bucket")
+        .applyInPandas(_build, "bucket int, bitset binary")
+    )
+
+
+def probe_seen_bloom(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    nbuckets: int = NBUCKETS,
+    bits: int = BITS_PER_BUCKET,
+) -> DataFrame:
+    """candidates(+url_hash) → candidates + maybe_seen boolean.
+
+    Cogrouped-map join: each bucket's candidate batch meets its single
+    bitset row exactly once (the bitset is NOT replicated per candidate
+    row, which a plain join would do). maybe_seen=False is authoritative
+    (bloom has no false negatives); True only routes into the exact
+    anti-join."""
+    cand = with_bucket(candidates, nbuckets)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            return left.assign(maybe_seen=False)
+        arr = np.frombuffer(right["bitset"].iloc[0], dtype=np.uint8)
+        pos = _positions(left["url_hash"].to_numpy(), bits)
+        hit = np.ones(len(left), dtype=bool)
+        for i in range(N_HASHES):
+            p = pos[:, i]
+            hit &= (arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return left.assign(maybe_seen=hit)
+
+    return (
+        cand.groupBy("bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """A7: exact dedup — candidates not yet crawled (left_anti on url_norm).
+    This is the membership truth; the bloom only trims its probe side."""
+    return candidates.join(seen.select("url_norm"), "url_norm", "left_anti")
+
+
+def filter_new_urls(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: DataFrame | None = None,
+    nbuckets: int = NBUCKETS,
+    bits: int = BITS_PER_BUCKET,
+) -> DataFrame:
+    """Composed A5+A6+A7: bloom pre-filter (if provided) then exact anti-join
+    on the maybe-seen slice; definite-new rows bypass the join entirely."""
+    if bloom is None:
+        return exact_new_urls(candidates, seen)
+    probed = probe_seen_bloom(candidates, bloom, nbuckets, bits)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
+    return definite_new.unionByName(exact_new_urls(maybe, seen))

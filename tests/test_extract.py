@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from opps_feedcrawler_spark.functions.extract import (
+    extract_entries_py,
+    extract_links_py,
+    extract_text_py,
+    extract_text_udf,
+    is_feed,
+)
+
+HTML = b"""<html><head><title>t</title><script>var x=1;</script>
+<style>p{}</style></head><body><nav>menu here</nav>
+<h1>Head  line</h1><p>first   para</p><p>second para</p>
+<a href="/rel">rel</a> <a href="http://other.example/x">abs</a>
+<footer>foot</footer></body></html>"""
+
+RSS = b"""<?xml version="1.0"?><rss version="2.0"><channel><title>c</title>
+<item><guid>g1</guid><title>Item One</title><link>http://a.example/1</link>
+<pubDate>Mon, 04 Mar 2024 12:00:00 GMT</pubDate><description>desc one</description></item>
+<item><title>Item Two</title><link>http://a.example/2</link></item>
+</channel></rss>"""
+
+ATOM = b"""<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>f</title><entry><id>e1</id><title>A1</title>
+<link href="http://b.example/1"/><updated>2024-03-04T12:30:00Z</updated>
+<summary>s1</summary></entry></feed>"""
+
+
+def test_is_feed():
+    assert not is_feed(HTML)
+    assert is_feed(RSS)
+    assert is_feed(ATOM)
+
+
+def test_extract_text_html_strips_boilerplate():
+    t = extract_text_py(HTML)
+    assert "var x" not in t and "menu here" not in t and "foot" not in t
+    assert t == "Head line first para second para rel abs"
+
+
+def test_extract_text_feed():
+    assert extract_text_py(RSS) == "Item One — desc one\nItem Two"
+
+
+def test_extract_links():
+    links = extract_links_py(HTML, "http://base.example/dir/page")
+    assert links == ["http://base.example/rel", "http://other.example/x"]
+    assert extract_links_py(RSS, None) == [
+        "http://a.example/1",
+        "http://a.example/2",
+    ]
+
+
+def test_extract_entries_rss():
+    es = extract_entries_py(RSS)
+    assert len(es) == 2
+    assert es[0]["entry_guid"] == "g1"
+    assert es[0]["published_ts"] == datetime(2024, 3, 4, 12, 0, 0)
+    # guid falls back to link (reference dedup key behavior)
+    assert es[1]["entry_guid"] == "http://a.example/2"
+
+
+def test_extract_entries_atom():
+    es = extract_entries_py(ATOM)
+    assert es[0]["entry_guid"] == "e1"
+    assert es[0]["link"] == "http://b.example/1"
+    assert es[0]["published_ts"] == datetime(2024, 3, 4, 12, 30, 0)
+
+
+def test_text_udf_matches_pure_fn(spark):
+    df = spark.createDataFrame([(HTML,), (RSS,), (ATOM,)], "html binary")
+    got = {r.text for r in df.select(extract_text_udf("html").alias("text")).collect()}
+    assert got == {extract_text_py(HTML), extract_text_py(RSS), extract_text_py(ATOM)}

@@ -1,0 +1,57 @@
+"""Kill/resume bit-for-bit equivalence (BASELINE.json:6; SURVEY.md §5.4):
+run A = rounds 0..3 uninterrupted; run B = rounds 0..1, 'crash', resume to
+3 in a fresh process-state — every committed table must be value-identical,
+and a torn (uncommitted) round must be invisible to resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from opps_feedcrawler_spark.plans.crawl import run_crawl
+
+ROUNDS = 3
+
+
+def _table_fingerprint(spark, log, round_no: int, name: str):
+    df = log.load_table(spark, round_no, name)
+    rows = [tuple(r) for r in df.collect()]
+    return sorted(map(repr, rows))
+
+
+def test_resume_bit_for_bit(spark, corpus_dfs, tmp_path):
+    pages, seeds, robots = corpus_dfs
+    wh_a = str(tmp_path / "a")
+    wh_b = str(tmp_path / "b")
+    log_a = run_crawl(spark, pages, seeds, robots, wh_a, rounds=ROUNDS)
+    # interrupted run: stop after round 0, then resume
+    log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=1)
+    assert log_b.latest_snapshot_id() == 0
+    log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=ROUNDS)
+
+    assert log_a.snapshot_ids() == log_b.snapshot_ids()
+    for r in log_a.snapshot_ids():
+        for name in ("frontier", "seen", "schedule", "fetch_log", "text", "entries"):
+            fa = _table_fingerprint(spark, log_a, r, name)
+            fb = _table_fingerprint(spark, log_b, r, name)
+            assert fa == fb, (r, name)
+        ma = log_a.read_snapshot(r)["metrics"]
+        mb = log_b.read_snapshot(r)["metrics"]
+        assert ma == mb, r
+
+
+def test_torn_snapshot_invisible(spark, corpus_dfs, tmp_path):
+    pages, seeds, robots = corpus_dfs
+    wh = str(tmp_path / "torn")
+    log = run_crawl(spark, pages, seeds, robots, wh, rounds=2)
+    # simulate a crash mid-commit: data for round 2 present, snapshot absent
+    torn_dir = os.path.join(log.data_dir, "round=2", "junk")
+    os.makedirs(torn_dir, exist_ok=True)
+    with open(os.path.join(torn_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    # a temp snapshot file must also be ignored
+    with open(os.path.join(log.snap_dir, ".tmp-dead.json"), "w") as f:
+        json.dump({"snapshot_id": 99}, f)
+    assert log.latest_snapshot_id() == 1  # torn round invisible
+    log2 = run_crawl(spark, pages, seeds, robots, wh, rounds=3)
+    assert log2.latest_snapshot_id() == 2  # resumed cleanly over the wreckage
