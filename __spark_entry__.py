@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
     frontier = seeds_to_frontier(seeds)
     seen = spark.createDataFrame([], "url_norm string, url_hash long")
     out = crawl_round(
-        spark, frontier, seen, pages_prepared, robots, round_no=0, use_bloom=False
+        spark, frontier, seen, None, pages_prepared, robots, round_no=0
     )
-    sched = out["schedule"]
+    sched = out["schedule"]  # frontier is built lazily via out["build_frontier"]
     text = out["text"]
     return (
         sched.join(text, sched.url_norm == text.url, "left")

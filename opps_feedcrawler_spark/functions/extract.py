@@ -26,7 +26,7 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..schemas import ENTRY_STRUCT
 
@@ -90,6 +90,39 @@ class _LinkExtractor(HTMLParser):
             for k, v in attrs:
                 if k == "href" and v:
                     self.hrefs.append(v)
+
+
+class _CombinedExtractor(HTMLParser):
+    """One-pass text + link extraction: the hot-path fusion of
+    _TextExtractor and _LinkExtractor with bit-identical outputs to each
+    (hrefs are collected regardless of skip depth, exactly like
+    _LinkExtractor). Parsing is the dominant CPU cost of a crawl round, so
+    parsing once instead of three times is a ~3x hot-path win at scale."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._chunks: list[str] = []
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data.strip():
+            self._chunks.append(data)
+
+    def text(self) -> str:
+        return _WS.sub(" ", " ".join(self._chunks)).strip()
 
 
 def _parse_xml(doc: str):
@@ -238,6 +271,60 @@ def extract_entries_py(html: bytes | str | None) -> list[dict]:
     return out
 
 
+def _resolve_links(hrefs: list[str], base_url: str | None) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+    for h in hrefs:
+        try:
+            absolute = urljoin(base_url or "", h)
+        except ValueError:
+            continue
+        if absolute and absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out
+
+
+def extract_all_py(
+    html: bytes | str | None, base_url: str | None
+) -> tuple[str, list[str], list[dict]]:
+    """Fused single-parse extraction: (text, links, entries) with outputs
+    byte-identical to extract_text_py / extract_links_py / extract_entries_py
+    (property-tested in tests/test_extract.py). Feeds parse the XML once;
+    HTML runs one combined parser pass."""
+    doc = _decode(html)
+    if not doc:
+        return "", [], []
+    if is_feed(doc):
+        items = list(_feed_items(_parse_xml(doc)))
+        text_parts: list[str] = []
+        hrefs: list[str] = []
+        entries: list[dict] = []
+        for guid, title, link, pub_raw, summary in items:
+            seg = " — ".join(s for s in (title, summary) if s)
+            if seg:
+                text_parts.append(seg)
+            if link:
+                hrefs.append(link)
+            entries.append(
+                {
+                    "entry_guid": guid or link,
+                    "title": title,
+                    "link": link,
+                    "published_ts": parse_feed_datetime(pub_raw),
+                    "summary": summary,
+                }
+            )
+        return "\n".join(text_parts), _resolve_links(hrefs, base_url), entries
+    p = _CombinedExtractor()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        pass
+    return p.text(), _resolve_links(p.hrefs, base_url), []
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched UDF wrappers (B32) — the only Python in the data path.
 # ---------------------------------------------------------------------------
@@ -258,3 +345,21 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(ENTRY_STRUCT))
 def extract_entries_udf(html: pd.Series) -> pd.Series:
     return pd.Series([extract_entries_py(h) for h in html], dtype=object)
+
+
+EXTRACT_ALL_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("entries", ArrayType(ENTRY_STRUCT)),
+    ]
+)
+
+
+@pandas_udf(EXTRACT_ALL_STRUCT)
+def extract_all_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """The crawl hot path: ONE parse per page yielding text+links+entries
+    (plans/crawl.py persists its output so each round parses each fetched
+    page exactly once, regardless of how many tables derive from it)."""
+    rows = [extract_all_py(h, b) for h, b in zip(html, base_url)]
+    return pd.DataFrame(rows, columns=["text", "links", "entries"])

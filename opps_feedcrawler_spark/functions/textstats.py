@@ -1,0 +1,74 @@
+"""Text-analysis functions for a training-data pipeline over the crawl's
+extracted text: language-ID, quality scoring, token counting, document
+fingerprinting. All JVM-native column expressions (zero Python) so they run
+inside whole-stage codegen at 100 TB scale; each has an exact ANSI-SQL twin
+in plans/queries.py for the DuckDB oracle.
+
+The reference stores feed-provided text verbatim [PK]; these operators are
+the scale-path additions a web-text corpus needs downstream of extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation. Exact integer
+    arithmetic then one double division → bit-stable across engines."""
+    stripped = F.regexp_replace(text, r"[.,!?;:]", "")
+    return (F.length(text) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+
+
+def stopword_hits(text: Column) -> Column:
+    """Occurrences of ' the ' (surrounded by spaces) — a deliberately simple
+    exact-counting quality signal; (len - len(replace))/len(' the ')."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(" the "), F.lit(""))))
+        / F.lit(5)
+    ).cast("int")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score: long enough, low punctuation,
+    has stopwords. Pure exact arithmetic (ints + one division per term)."""
+    length_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        punct_ratio(text) * F.lit(10.0), F.lit(1.0)
+    )
+    stop_term = F.least(
+        stopword_hits(text).cast("double") / F.lit(5.0), F.lit(1.0)
+    )
+    return (length_term + punct_term + stop_term) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Rule-based language ID over marker tokens, first-match-wins so the
+    CASE order is the spec (identical in the SQL twin)."""
+    return (
+        F.when(text.rlike("[一-鿿]"), F.lit("zh"))
+        .when(text.rlike(" (el|la|los|las|una) "), F.lit("es"))
+        .when(text.rlike(" (der|die|und|nicht) "), F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def normalize_ws(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Stable across engines (md5 over UTF-8 bytes)."""
+    return F.md5(F.encode(F.lower(normalize_ws(text)), "UTF-8"))

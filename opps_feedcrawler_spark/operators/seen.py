@@ -120,10 +120,99 @@ def probe_seen_bloom(
     )
 
 
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-combine two bloom tables bucket-wise (incremental maintenance:
+    at 10^10 URLs the seen set only ever grows, so each round ORs the
+    round-delta's bitsets into the existing table instead of rebuilding
+    from scratch — O(delta) instead of O(total) per round)."""
+
+    def _or(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        frames = [f for f in (left, right) if not f.empty]
+        bucket = int(frames[0]["bucket"].iloc[0])
+        acc: np.ndarray | None = None
+        for f in frames:
+            arr = np.frombuffer(f["bitset"].iloc[0], dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame({"bucket": [bucket], "bitset": [acc.tobytes()]})
+
+    return (
+        a.groupBy("bucket")
+        .cogroup(b.groupBy("bucket"))
+        .applyInPandas(_or, "bucket int, bitset binary")
+    )
+
+
 def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """A7: exact dedup — candidates not yet crawled (left_anti on url_norm).
     This is the membership truth; the bloom only trims its probe side."""
     return candidates.join(seen.select("url_norm"), "url_norm", "left_anti")
+
+
+# Below this total bitset size the bloom is shipped to every task as a
+# broadcast variable and probed in ONE narrow Arrow-UDF stage (no shuffle).
+# Above it (e.g. the ~12 GiB table a 10^10-URL crawl needs) the cogrouped
+# shuffle path probe_seen_bloom() is the scale path.
+BROADCAST_BLOOM_MAX_BYTES = 2 << 30
+
+
+def bloom_to_broadcast(spark, bloom: DataFrame):
+    """Materialize the (small) bloom table into a driver dict and broadcast.
+    Caller is responsible for checking BROADCAST_BLOOM_MAX_BYTES."""
+    return spark.sparkContext.broadcast(
+        {int(r.bucket): bytes(r.bitset) for r in bloom.collect()}
+    )
+
+
+def probe_seen_broadcast(
+    candidates: DataFrame,
+    bloom_bcast,
+    nbuckets: int = NBUCKETS,
+    bits: int = BITS_PER_BUCKET,
+) -> DataFrame:
+    """Broadcast-bloom probe: candidates + maybe_seen in a single narrow
+    stage (numpy bit tests over the broadcast bitsets, Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def _probe(url_hash: pd.Series) -> pd.Series:
+        if len(url_hash) == 0:
+            return pd.Series([], dtype=bool)
+        blooms = bloom_bcast.value
+        h = url_hash.to_numpy()
+        buckets = (h % nbuckets + nbuckets) % nbuckets
+        pos = _positions(h, bits)
+        hit = np.ones(len(h), dtype=bool)
+        arrs = {b: np.frombuffer(v, dtype=np.uint8) for b, v in blooms.items()}
+        for b in np.unique(buckets):
+            idx = np.where(buckets == b)[0]
+            arr = arrs.get(int(b))
+            if arr is None:
+                hit[idx] = False
+                continue
+            ok = np.ones(len(idx), dtype=bool)
+            for i in range(N_HASHES):
+                p = pos[idx, i]
+                ok &= (arr[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            hit[idx] = ok
+        return pd.Series(hit)
+
+    return candidates.withColumn("maybe_seen", _probe(F.col("url_hash")))
+
+
+def filter_new_urls_broadcast(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_bcast,
+    nbuckets: int = NBUCKETS,
+    bits: int = BITS_PER_BUCKET,
+) -> DataFrame:
+    """Composed A5+A6+A7 on the broadcast path: definite-new rows skip the
+    anti-join shuffle entirely; only bloom-positives probe the seen table."""
+    probed = probe_seen_broadcast(candidates, bloom_bcast, nbuckets, bits)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definite_new.unionByName(exact_new_urls(maybe, seen))
 
 
 def filter_new_urls(

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (training-data pipeline plane):
+brute-force cosine top-k as the correctness baseline, random-hyperplane-LSH
+bucketed top-k as the scale path.
+
+Scale design: brute force is O(|Q|·|N|) — fine when the query side is small
+enough to broadcast (the plan below broadcasts it explicitly). The LSH
+variant shuffles both sides by bucket signature, so the per-task work is
+|Q_b|·|N_b| per bucket; multi-probe (flipping one bit) bounds recall loss.
+At 100 TB you tune n_planes so buckets fit an executor's batch and add an
+IVF-style coarse quantizer in front; the dataflow shape stays identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from .dedup import cosine_expr
+
+N_PLANES = 8
+_PLANE_SEED = 20240301
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(_PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+@pandas_udf(IntegerType())
+def lsh_bucket_udf(vecs: pd.Series) -> pd.Series:
+    """Random-hyperplane signature → int bucket (Arrow-batched numpy matmul)."""
+    if len(vecs) == 0:
+        return pd.Series([], dtype="int32")
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+    planes = _planes(mat.shape[1])
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(N_PLANES)).astype(np.int32)
+    return pd.Series((bits @ weights).astype(np.int32))
+
+
+def ann_bruteforce_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side across the
+    corpus, JVM-native dot products, two-key deterministic ranking.
+    Output: query_id, neighbor_id, rank, cos (rounded 6)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket (with 1-bit multi-probe on
+    the query side), exact cosine re-rank within buckets. Same output schema
+    as the brute-force baseline so recall is directly measurable."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        lsh_bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    # multi-probe: original bucket + each 1-bit flip
+    probes = q0.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(probes, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -47,16 +47,35 @@ class SnapshotLog:
         return os.path.join(self.data_dir, f"round={round_no}", name)
 
     def write_table(self, df: DataFrame, round_no: int, name: str) -> dict:
-        """Write one table's Parquet and return its lineage manifest:
-        the per-partition file list with row counts and byte sizes."""
+        """Write one table's Parquet and return its lineage manifest: the
+        per-partition file list with row counts and byte sizes, read from the
+        Parquet FOOTERS (no Spark job — the metrics/lineage path costs zero
+        cluster work per round)."""
+        import pyarrow.parquet as pq
+
         path = self.table_path(round_no, name)
         df.write.mode("overwrite").parquet(path)
         files = []
+        total_rows = 0
         for fn in sorted(os.listdir(path)):
             if fn.endswith(".parquet"):
                 full = os.path.join(path, fn)
-                files.append({"file": fn, "bytes": os.path.getsize(full)})
-        return {"path": path, "files": files}
+                nrows = pq.ParquetFile(full).metadata.num_rows
+                total_rows += nrows
+                files.append(
+                    {"file": fn, "bytes": os.path.getsize(full), "rows": nrows}
+                )
+        return {"path": path, "files": files, "rows": total_rows}
+
+    @staticmethod
+    def count_where(path: str, column: str, value) -> int:
+        """Driver-side filtered count over a (small) per-round table via
+        pyarrow dataset — used for metrics like fetched_ok without a job."""
+        import pyarrow.dataset as ds
+
+        return ds.dataset(path, format="parquet").count_rows(
+            filter=(ds.field(column) == value)
+        )
 
     def commit(
         self,

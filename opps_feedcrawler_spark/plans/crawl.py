@@ -6,8 +6,8 @@ last_polled_time; behavior-level [PK], SURVEY.md §3.1) becomes one
 declarative DataFrame round:
 
   frontier → [seen anti-join] → [robots filter] → [salted politeness top-k]
-           → [fetch = join pages corpus] → [pandas-UDF extract text/links/
-             entries] → new frontier candidates → snapshot commit
+           → [fetch = join pages corpus] → [ONE fused Arrow-UDF parse →
+             text+links+entries] → new frontier candidates → snapshot commit
 
 Round semantics (pinned; the single-threaded oracle in
 tests/oracle_crawler.py implements the SAME rules so scheduled order, the
@@ -24,31 +24,42 @@ URL-seen set and extracted text match exactly — BASELINE.json:6,14):
      (sandbox has no network — SURVEY.md A11; a real deploy swaps this
      single stage for a mapInPandas HTTP fetcher with per-partition
      connection pools, nothing else changes)
- R7  extract: text (A13), links (A14), entries (A12+A15)
+ R7  extract: ONE fused parse (A12+A13+A14) — text, links, entries
  R8  new candidates = canonicalize(links), depth=parent+1, dedup by
-     url_norm keeping MIN depth, anti-join seen
+     url_norm keeping MIN depth, anti-join seen (bloom pre-filtered)
  R9  frontier' = (frontier - scheduled - disallowed) ∪ new candidates,
      dedup by url_norm keeping MIN depth
- R10 commit snapshot(round): frontier', seen, schedule, fetch_log, text,
-     entries + metrics (A16-A18)
+ R10 commit snapshot(round): frontier, seen_delta, bloom, schedule,
+     fetch_log, text, entries + metrics (A16-A18)
+
+Scale design decisions (the 100 TB story, each one load-bearing):
+- ONE parse per fetched page: the fused extract_all_udf output is persisted
+  for the round, so the 4 tables derived from it (fetch_log/text/entries/
+  frontier candidates) never re-trigger the join or the Python worker.
+- `seen` is stored as PER-ROUND DELTAS, never rewritten: the cumulative
+  seen set at 10^10 URLs is the biggest table in the system; each snapshot
+  appends only that round's scheduled∪disallowed rows (provably disjoint
+  from all prior deltas). load_seen() unions delta files — a metadata-only
+  operation for Parquet.
+- the bloom filter is maintained INCREMENTALLY (merge_blooms ORs the
+  round-delta bitsets into the running table) and is itself snapshotted,
+  so resume never rebuilds it from the full seen set.
+- per-round metrics/lineage come from Parquet footers (zero Spark jobs).
 
 Determinism: every ordering carries the (priority DESC, url_norm ASC)
-total-order key; depth ties collapse to one canonical row via min(depth);
-all UDFs are pure; no wall clock in the data path. Hence a resume from
-snapshot k replays rounds k+1..K bit-for-bit (BASELINE.json:6).
+total-order key; depth ties collapse via min(depth); all UDFs pure; no wall
+clock in the data path. A resume from snapshot k therefore replays rounds
+k+1..K bit-for-bit (BASELINE.json:6; tests/test_resume.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..functions.extract import (
-    extract_entries_udf,
-    extract_links_udf,
-    extract_text_udf,
-)
-from ..functions.urlnorm import NSALTS, with_url_cols
+from ..functions.extract import extract_all_udf
+from ..functions.urlnorm import with_url_cols
 from ..operators.politeness import (
     BUDGET_BASE,
     MAX_BUDGET,
@@ -57,7 +68,11 @@ from ..operators.politeness import (
     with_global_sequence,
 )
 from ..operators.robots import with_robots
-from ..operators.seen import build_seen_bloom, filter_new_urls
+from ..operators.seen import (
+    build_seen_bloom,
+    filter_new_urls,
+    merge_blooms,
+)
 from .checkpoint import SnapshotLog
 
 MAX_ENTRIES_PER_PAGE = 100  # the reference caps entries per feed [PK]
@@ -66,14 +81,16 @@ FRONTIER_COLS = ["url_norm", "host", "url_hash", "salt", "depth", "priority"]
 
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
-    """Canonicalize the corpus url once; pre-repartition by url_hash so the
-    per-round fetch join reuses one stable partitioning. Column-prune to
-    exactly what fetch needs (html is the wide column — keep it last)."""
+    """One-time corpus ingestion: canonicalize urls, first-wins dedup.
+    dropDuplicates already leaves the data hash-partitioned by url_norm —
+    adding a repartition would re-shuffle the html (the wide column) a
+    second time for nothing. At 100 TB this step runs ONCE and lands in the
+    warehouse (see bench.py's prepared-pages cache); crawl sessions read it
+    prepared, they never re-shuffle the corpus."""
     return (
         with_url_cols(pages, "url")
         .select("url_norm", "html")
         .dropDuplicates(["url_norm"])
-        .repartition("url_norm")
     )
 
 
@@ -87,18 +104,8 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
-def _links_to_candidates(fetched: DataFrame) -> DataFrame:
-    """R8: explode links, canonicalize, min-depth dedup."""
-    links = (
-        fetched.filter(F.col("html").isNotNull())
-        .select(
-            F.explode(extract_links_udf("html", "url_norm")).alias("url"),
-            (F.col("depth") + 1).alias("depth"),
-        )
-    )
-    cand = with_url_cols(links, "url").select(
-        "url_norm", "host", "url_hash", "salt", "depth"
-    )
+def _min_depth_frontier(cand: DataFrame) -> DataFrame:
+    """Collapse candidate rows to one per url_norm keeping MIN depth."""
     return (
         cand.groupBy("url_norm")
         .agg(
@@ -116,12 +123,14 @@ def crawl_round(
     spark: SparkSession,
     frontier: DataFrame,
     seen: DataFrame,
+    bloom: DataFrame | None,
     pages_prepared: DataFrame,
     robots: DataFrame,
     round_no: int,
-    use_bloom: bool = True,
 ) -> dict:
-    """Run one round; returns dict of result DataFrames (lazy)."""
+    """Run one round. Returns dict with result DataFrames; caller MUST
+    materialize (write) them, then call ['cleanup']() to drop the round's
+    persisted intermediates."""
     # R2 robots
     fr = with_robots(frontier, robots)
     disallowed = fr.filter(~F.col("allowed")).select("url_norm", "url_hash")
@@ -136,30 +145,45 @@ def crawl_round(
         ),
     ).cast("int")
     allowed = allowed.withColumn("budget", budget)
-    scheduled = schedule_budgeted(allowed).drop("budget", "allowed", "crawl_delay")
+    scheduled = (
+        schedule_budgeted(allowed)
+        .drop("budget", "allowed", "crawl_delay")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     schedule = with_global_sequence(scheduled, round_no).select(
         "round", "seq", "url_norm", "host", "priority", "depth"
     )
 
-    # R6 fetch
-    fetched = scheduled.join(pages_prepared, "url_norm", "left")
-    fetch_log = fetched.select(
+    # R6-R7: fetch join + ONE fused parse, persisted so every downstream
+    # table reads the parsed result instead of re-running join+UDF.
+    enriched = (
+        scheduled.join(pages_prepared, "url_norm", "left")
+        .select(
+            "url_norm",
+            "host",
+            "depth",
+            F.col("html").isNotNull().alias("hit"),
+            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+            extract_all_udf("html", "url_norm").alias("ex"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    fetch_log = enriched.select(
         F.lit(round_no).alias("round"),
         "url_norm",
         "host",
-        F.when(F.col("html").isNotNull(), 200).otherwise(404).alias("status"),
-        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+        F.when(F.col("hit"), 200).otherwise(404).alias("status"),
+        "bytes",
     )
-
-    # R7 extraction (Arrow UDFs — the only Python in the path)
-    hits = fetched.filter(F.col("html").isNotNull())
+    hits = enriched.filter(F.col("hit"))
     text = hits.select(
-        F.col("url_norm").alias("url"), extract_text_udf("html").alias("text")
+        F.col("url_norm").alias("url"), F.col("ex.text").alias("text")
     )
     entries = (
         hits.select(
             F.col("url_norm").alias("page_url"),
-            F.posexplode(extract_entries_udf("html")).alias("pos", "e"),
+            F.posexplode("ex.entries").alias("pos", "e"),
         )
         .filter(F.col("pos") < MAX_ENTRIES_PER_PAGE)
         .select(
@@ -173,41 +197,79 @@ def crawl_round(
         .dropDuplicates(["page_url", "entry_guid"])
     )
 
-    # R5 seen'
-    new_seen = (
-        seen.select("url_norm", "url_hash")
-        .unionByName(scheduled.select("url_norm", "url_hash"))
-        .unionByName(disallowed)
-    )
+    # R5 seen delta (disjoint from all prior deltas by construction:
+    # frontier rows are never in seen, scheduled ∩ disallowed = ∅).
+    seen_delta = scheduled.select("url_norm", "url_hash").unionByName(disallowed)
+    new_seen = seen.unionByName(seen_delta)
+    delta_bloom = build_seen_bloom(seen_delta)
+    new_bloom = (
+        merge_blooms(bloom, delta_bloom) if bloom is not None else delta_bloom
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # R8-R9 frontier'
-    bloom = build_seen_bloom(new_seen) if use_bloom else None
-    candidates = _links_to_candidates(fetched)
-    fresh = filter_new_urls(candidates, new_seen, bloom)
-    remainder = frontier.join(
-        scheduled.select("url_norm"), "url_norm", "left_anti"
-    ).join(disallowed.select("url_norm"), "url_norm", "left_anti")
-    new_frontier = (
-        remainder.select(*FRONTIER_COLS)
-        .unionByName(fresh.select(*FRONTIER_COLS))
-        .groupBy("url_norm")
-        .agg(
-            F.first("host").alias("host"),
-            F.first("url_hash").alias("url_hash"),
-            F.first("salt").alias("salt"),
-            F.min("depth").alias("depth"),
-        )
-        .withColumn("priority", priority_col())
-        .select(*FRONTIER_COLS)
+    # R8-R9 frontier' — returned as a BUILDER so the caller can first write
+    # (= materialize exactly once) the bloom table, then pass it back for
+    # probing without re-triggering the bloom DAG. Keeps crawl_round fully
+    # lazy: no collect/job happens while the round plan is being built.
+    links = hits.select(
+        F.explode("ex.links").alias("url"), (F.col("depth") + 1).alias("depth")
     )
+    cand = _min_depth_frontier(
+        with_url_cols(links, "url").select(
+            "url_norm", "host", "url_hash", "salt", "depth"
+        )
+    )
+    # scheduled ∪ disallowed = seen_delta, so one anti-join removes both
+    remainder = frontier.join(seen_delta.select("url_norm"), "url_norm", "left_anti")
+
+    def build_frontier(committed_bloom: DataFrame) -> DataFrame:
+        """Bloom probe via the broadcast path (one narrow Arrow stage) when
+        the bitset table fits the driver; cogrouped shuffle path otherwise
+        (a 10^10-URL bloom is ~12 GiB — see operators/seen.py)."""
+        from ..operators.seen import (
+            BITS_PER_BUCKET,
+            BROADCAST_BLOOM_MAX_BYTES,
+            NBUCKETS,
+            bloom_to_broadcast,
+            filter_new_urls_broadcast,
+        )
+
+        if NBUCKETS * (BITS_PER_BUCKET // 8) <= BROADCAST_BLOOM_MAX_BYTES:
+            bcast = bloom_to_broadcast(spark, committed_bloom)
+            fresh = filter_new_urls_broadcast(cand, new_seen, bcast)
+        else:
+            fresh = filter_new_urls(cand, new_seen, committed_bloom)
+        return _min_depth_frontier(
+            remainder.select(*FRONTIER_COLS).unionByName(fresh.select(*FRONTIER_COLS))
+        )
+
+    def cleanup() -> None:
+        scheduled.unpersist()
+        enriched.unpersist()
+        new_bloom.unpersist()
+
     return {
-        "frontier": new_frontier,
-        "seen": new_seen,
+        "build_frontier": build_frontier,
+        "seen_delta": seen_delta,
+        "bloom": new_bloom,
         "schedule": schedule,
         "fetch_log": fetch_log,
         "text": text,
         "entries": entries,
+        "cleanup": cleanup,
     }
+
+
+ROUND_TABLES = ("frontier", "seen_delta", "bloom", "schedule", "fetch_log", "text", "entries")
+
+
+def load_seen(spark: SparkSession, log: SnapshotLog, round_no: int) -> DataFrame:
+    """Cumulative seen set as of round_no = union of all per-round delta
+    files (metadata-only: one multi-path Parquet read, no shuffle)."""
+    paths = [
+        log.read_snapshot(r)["tables"]["seen_delta"]["path"]
+        for r in range(round_no + 1)
+    ]
+    return spark.read.parquet(*paths)
 
 
 def run_crawl(
@@ -217,52 +279,94 @@ def run_crawl(
     robots: DataFrame,
     warehouse: str,
     rounds: int,
-    use_bloom: bool = True,
-    start_round: int | None = None,
+    pages_prepared: bool = False,
 ) -> SnapshotLog:
     """Run (or resume) the crawl for `rounds` total rounds, one snapshot per
     round. Resume (A17): pass the same warehouse — the loop continues after
     the latest committed snapshot and reproduces exactly what an
-    uninterrupted run would have (tested in tests/test_resume.py)."""
+    uninterrupted run would have (tests/test_resume.py).
+
+    pages_prepared=True means `pages` is already the prepare_pages() output
+    (url_norm, html) — the production shape, where corpus ingestion ran once
+    in a separate job and crawl sessions never re-normalize the corpus."""
+    from concurrent.futures import ThreadPoolExecutor
+
     log = SnapshotLog(warehouse)
-    pages_prepared = prepare_pages(pages).persist()
+    # A prepared corpus arriving from Parquet is NOT persisted on-heap:
+    # the per-round fetch join streams it from Parquet (OS page cache makes
+    # re-reads near-free), while on-heap caching of a multi-GB html column
+    # is GC-hostile. Un-prepared input pays the canonicalize+dedup once and
+    # caches the (usually test-sized) result.
+    prepared = (
+        pages
+        if pages_prepared
+        else prepare_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     last = log.latest_snapshot_id()
-    if start_round is not None:
-        first = start_round
-    else:
-        first = (last + 1) if last is not None else 0
+    first = (last + 1) if last is not None else 0
     if first == 0:
         frontier = seeds_to_frontier(seeds)
         seen = spark.createDataFrame([], "url_norm string, url_hash long")
+        bloom: DataFrame | None = None
     else:
         frontier = log.load_table(spark, first - 1, "frontier")
-        seen = log.load_table(spark, first - 1, "seen")
+        seen = load_seen(spark, log, first - 1)
+        bloom = log.load_table(spark, first - 1, "bloom")
 
+    cumulative_seen = 0 if first == 0 else sum(
+        log.read_snapshot(r)["metrics"]["seen_delta_rows"] for r in range(first)
+    )
+    import os
+    import time as _time
+
+    debug = os.environ.get("OFS_CRAWL_DEBUG") == "1"
     for round_no in range(first, rounds):
+        _t0 = _time.monotonic()
         out = crawl_round(
-            spark, frontier, seen, pages_prepared, robots, round_no, use_bloom
+            spark, frontier, seen, bloom, prepared, robots, round_no
         )
-        manifests = {
-            name: log.write_table(out[name], round_no, name)
-            for name in ("frontier", "seen", "schedule", "fetch_log", "text", "entries")
+        # The 6 non-frontier tables are independent sinks over shared
+        # persisted intermediates — write them as CONCURRENT Spark jobs so
+        # per-round wall time is max(write), not sum(write). (Thread-safe:
+        # Spark job submission is designed for multi-threaded drivers; the
+        # shared persisted blocks are computed once under block-manager
+        # locking.)
+        first_tables = [n for n in ROUND_TABLES if n != "frontier"]
+        with ThreadPoolExecutor(max_workers=len(first_tables)) as pool:
+            futs = {
+                name: pool.submit(log.write_table, out[name], round_no, name)
+                for name in first_tables
+            }
+            manifests = {name: f.result() for name, f in futs.items()}
+        if debug:
+            print(f"[crawl r{round_no}] writes {_time.monotonic() - _t0:.1f}s")
+            _t0 = _time.monotonic()
+        # bloom is now on disk (tiny); read it back for the frontier probe
+        # so the bloom DAG is never executed twice.
+        committed_bloom = spark.read.parquet(manifests["bloom"]["path"])
+        frontier_df = out["build_frontier"](committed_bloom)
+        manifests["frontier"] = log.write_table(frontier_df, round_no, "frontier")
+        out["cleanup"]()
+        if debug:
+            print(f"[crawl r{round_no}] frontier {_time.monotonic() - _t0:.1f}s")
+        # A18 per-round metrics from Parquet footers (no Spark jobs).
+        m: dict[str, float] = {
+            f"{name}_rows": manifests[name]["rows"] for name in ROUND_TABLES
         }
-        # A18 per-round metrics from the just-written parquet (exact, cheap).
-        m = {}
-        for name in ("schedule", "fetch_log", "text", "entries", "frontier", "seen"):
-            m[f"{name}_rows"] = spark.read.parquet(manifests[name]["path"]).count()
-        ok = (
-            spark.read.parquet(manifests["fetch_log"]["path"])
-            .filter(F.col("status") == 200)
-            .count()
+        cumulative_seen += manifests["seen_delta"]["rows"]
+        m["seen_rows"] = cumulative_seen
+        m["fetched_ok"] = log.count_where(
+            manifests["fetch_log"]["path"], "status", 200
         )
-        m["fetched_ok"] = ok
         log.commit(round_no, manifests, m)
         # Next round reads from the committed snapshot (the materialization
         # barrier that makes every round a pure function of the previous
         # snapshot — no recomputation drift, no lineage blowup).
         frontier = log.load_table(spark, round_no, "frontier")
-        seen = log.load_table(spark, round_no, "seen")
-        if frontier.limit(1).count() == 0:
+        seen = load_seen(spark, log, round_no)
+        bloom = log.load_table(spark, round_no, "bloom")
+        if m["frontier_rows"] == 0:
             break
-    pages_prepared.unpersist()
+    if not pages_prepared:
+        prepared.unpersist()
     return log

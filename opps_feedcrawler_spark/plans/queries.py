@@ -1,6 +1,1237 @@
-"""Plane-B query pack (SURVEY.md §2 Plane B) — placeholder, filled next."""
+"""Plane-B query pack (SURVEY.md §2 Plane B + training-data pipeline plane).
+
+Each entry: QUERIES[name](spark, sf_dir) -> DataFrame, with ORACLE_SQL[name]
+the DuckDB-equivalent ANSI SQL over the driver's pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Keys absent from ORACLE_SQL get the driver's rows-only check.
+
+Cross-engine exactness rules (so the order-insensitive value-hash matches):
+- every computed column aliased identically on both sides;
+- money/SUM aggregates computed in DECIMAL (exact, order-independent) and
+  cast to DOUBLE at the end — never raw double sums (order-sensitive fp);
+- noisy-double aggregates avoided in favor of COUNT/MIN/MAX (exact);
+- ratios are single divisions of identical exact operands;
+- every window carries a total-order tie-break;
+- top-k via row_number (deterministic), never bare LIMIT.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    fingerprint,
+    lang_id,
+    normalize_ws,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from ..functions.urlnorm import canonicalize_udf, host_col
+from ..operators import dedup, similarity
+from ..operators.politeness import schedule_budgeted
+from ..operators.seen import build_seen_bloom, exact_new_urls, probe_seen_bloom
+
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# =========================================================================
+# Relational core (B1-B26) over the TPC-H-ish tables
+# =========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """B11 hash aggregation (TPC-H Q1 shape): partial+final agg, decimal-
+    exact sums. Catalyst pushes the shipdate filter into the parquet scan."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_revenue_orders",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT o_orderkey, o_orderdate, revenue
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rn FROM rev)
+    WHERE rn <= 10
+    """,
+)
+def q3(spark, sf_dir):
+    """B5/B6 joins + agg + deterministic top-k (TPC-H Q3 shape): customer is
+    broadcast under the dim, orders⋈lineitem is the SMJ/shuffle-hash side."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+@_q(
+    "broadcast_dim_join",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def broadcast_dim_join(spark, sf_dir):
+    """B5: star-schema fact⋈dim⋈dim with explicit broadcast of both dims —
+    zero shuffle on the fact side until the final aggregation."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@_q(
+    "outer_join_order_counts",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def outer_join_order_counts(spark, sf_dir):
+    """B7 left outer join with null-preserving count (customers with zero
+    orders appear with n_orders = 0)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_q(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active(spark, sf_dir):
+    """B8 left-semi join (existence)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle(spark, sf_dir):
+    """B8 left-anti join (non-existence) — the same primitive as the
+    crawl's exact URL dedup (A7)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "theta_band_join",
+    """
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    """,
+)
+def theta_band_join(spark, sf_dir):
+    """B9 non-equi (band) join — broadcast nested loop on the small side."""
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    return s.join(
+        c,
+        (c.c_acctbal >= s.s_acctbal - 100) & (c.c_acctbal <= s.s_acctbal + 100),
+    ).select("s_suppkey", "c_custkey")
+
+
+@_q(
+    "asof_purchase_prev_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+                  c.event_id AS click_id, c.ts AS click_ts,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC NULLS LAST,
+                                              c.event_id DESC NULLS LAST) AS rn
+           FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+         )
+    SELECT purchase_id, purchase_ts, click_id, click_ts FROM j WHERE rn = 1
+    """,
+)
+def asof_purchase_prev_click(spark, sf_dir):
+    """B10 as-of join: latest click at-or-before each purchase per user,
+    expressed as range-join + ranked dedup (the Spark-native as-of shape)."""
+    e = T(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c, (p.user_id == c.c_user) & (c.click_ts <= p.purchase_ts), "left"
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "purchase_ts", "click_id", "click_ts")
+    )
+
+
+@_q(
+    "distinct_agg_segments",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def distinct_agg_segments(spark, sf_dir):
+    """B12 distinct aggregation."""
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@_q(
+    "distinct_flag_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flag_pairs(spark, sf_dir):
+    """B12 dropDuplicates."""
+    return T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).dropDuplicates()
+
+
+@_q("approx_distinct_parts")  # rows-only: approximate by construction (B13)
+def approx_distinct_parts(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
+    "rollup_region_nation",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+           COUNT(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """B14 rollup (NULL-filling convention agrees between engines)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "cube_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status(spark, sf_dir):
+    """B14 cube."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """B14 explicit GROUPING SETS via Spark SQL."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "window_rank_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_rank_orders(spark, sf_dir):
+    """B15 ranking window: top-3 orders per customer — the exact primitive
+    behind the crawl's politeness token bucket (A9)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "rnk",
+        )
+    )
+
+
+@_q(
+    "window_lag_user_events",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+    FROM events
+    """,
+)
+def window_lag_user_events(spark, sf_dir):
+    """B16 analytic window (lag/lead) with total-order tie-break."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@_q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """B17 frame-spec window: running decimal-exact sum."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "global_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 10
+    """,
+)
+def global_topk_orders(spark, sf_dir):
+    """B18 global top-k, deterministic via two-key ranking (Spark compiles
+    the single-partition window of a top-k into TakeOrderedAndProject when
+    written as orderBy+limit; the ranked form keeps ties deterministic)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "set_ops_nations",
+    """
+    SELECT n_nationkey, 'both' AS src FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS src FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def set_ops_nations(spark, sf_dir):
+    """B19 set operations: intersect + except + union."""
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    conly = c.exceptAll(s).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(conly)
+
+
+@_q(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS INT) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(instr(p_type, 'BRUSHED') AS INT) AS brushed_pos,
+           trim(p_name) AS name_trim
+    FROM part
+    """,
+)
+def string_funcs_part(spark, sf_dir):
+    """B20 string function surface."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@_q(
+    "datetime_funcs_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02') AS INT)
+             AS days_to_ref,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec
+    FROM orders
+    """,
+)
+def datetime_funcs_orders(spark, sf_dir):
+    """B21 date/time surface."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-08-02").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_ref"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+@_q(
+    "math_funcs_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_quantity - 25.0), 2) AS qty_dev,
+           round(ln(l_quantity + 1.0), 6) AS log_qty,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(power(1.0 + l_discount, 2), 6) AS disc_sq,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket,
+           mod(CAST(l_orderkey AS BIGINT), 7) AS key_mod
+    FROM lineitem
+    """,
+)
+def math_funcs_lineitem(spark, sf_dir):
+    """B22 math surface (transcendentals rounded to 6 to absorb last-ulp
+    libm differences between JVM and DuckDB)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_quantity") - 25.0), 2).alias("qty_dev"),
+        F.round(F.log(F.col("l_quantity") + 1.0), 6).alias("log_qty"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_bucket"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+    )
+
+
+@_q(
+    "array_funcs_embeddings",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])), 4) AS sq_norm,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
+    FROM embeddings
+    """,
+)
+def array_funcs_embeddings(spark, sf_dir):
+    """B23 array surface: size / element access / zip_with+aggregate dot
+    product (JVM-native left fold — no UDF)."""
+    e = T(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(dot, 4).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+    )
+
+
+@_q(
+    "map_funcs_orders",
+    """
+    SELECT o_orderkey, o_orderstatus AS status_from_map,
+           2 AS map_size
+    FROM orders
+    """,
+)
+def map_funcs_orders(spark, sf_dir):
+    """B24 map surface: build a map, read it back natively (oracle checks
+    the values round-trip, which is what a map column must preserve)."""
+    o = T(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_from_map"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@_q(
+    "json_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_events(spark, sf_dir):
+    """B25 JSON extraction from events.props."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "conditional_acctbal_buckets",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment
+    FROM customer GROUP BY 1, 3
+    """,
+)
+def conditional_acctbal_buckets(spark, sf_dir):
+    """B26 case/when, coalesce, nullif."""
+    c = T(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+    return (
+        c.select(bucket.alias("bucket"), seg.alias("segment"))
+        .groupBy("bucket", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================================
+# Stream-semantics windows in batch (B27-B29) over events
+# =========================================================================
+
+
+@_q(
+    "tumbling_hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_events(spark, sf_dir):
+    """B27 tumbling window aggregation (exact aggs only: count/min/max)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "min_value", "max_value")
+    )
+
+
+@_q(
+    "sliding_window_events",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTE, e.ts) - k.k * INTERVAL 15 MINUTE
+             AS window_start,
+           COUNT(*) AS n, MIN(e.value) AS min_value
+    FROM events e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark, sf_dir):
+    """B28 sliding window (1h window, 15min slide): every event lands in
+    exactly 4 windows; oracle expands via a 0..3 offset cross join (both
+    grids are epoch-aligned)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("min_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "min_value")
+    )
+
+
+@_q(
+    "session_window_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_events(spark, sf_dir):
+    """B29 session window (30min gap) per user; oracle is the classic
+    lag/gap/running-sum sessionization (same close-at-gap>=30min rule as
+    Spark's session_window, whose end = last_ts + gap)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# =========================================================================
+# UDF planes (B32-B36): grouped-map UDAF with an exact-arithmetic oracle
+# =========================================================================
+
+
+@_q(
+    "udaf_weighted_price",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             AS weighted_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_price(spark, sf_dir):
+    """B34/B36 custom UDAF via applyInPandas: quantity-weighted mean price,
+    computed in exact integer cents inside the Python worker so the result
+    is order-independent and oracle-identical."""
+    import pandas as pd
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64").sum()
+        qty = pdf["l_quantity"].astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "weighted_price": [float(cents) / 100.0 / float(qty)],
+                "total_qty": [qty],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        wavg, "l_returnflag string, weighted_price double, total_qty long"
+    )
+
+
+# =========================================================================
+# Crawl-plane queries over the documents-as-pages corpus
+# =========================================================================
+
+_DOC_URL_SQL = "'http://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)"
+
+
+def _doc_urls(spark, sf_dir) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+@_q(
+    "crawl_canonicalize",
+    f"""
+    SELECT doc_id,
+           'http://' || lower(source) || '.example/doc/' || CAST(doc_id AS VARCHAR)
+             || '?b=2' AS url_norm
+    FROM documents
+    """,
+)
+def crawl_canonicalize(spark, sf_dir):
+    """A2 canonicalization UDF against an algebraic oracle: messy URLs
+    (uppercase host, default port, dot-segments, tracking params, fragment)
+    must normalize to the clean form the oracle constructs directly."""
+    d = T(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.upper(F.col("source")),
+        F.lit(".EXAMPLE:80/./doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b=2#frag"),
+    )
+    return d.select("doc_id", canonicalize_udf(messy).alias("url_norm"))
+
+
+@_q(
+    "crawl_host_extract",
+    f"""
+    SELECT doc_id,
+           regexp_extract({_DOC_URL_SQL}, '^https?://([^/]+)', 1) AS host
+    FROM documents
+    """,
+)
+def crawl_host_extract(spark, sf_dir):
+    """A4 native host extraction from canonical URLs."""
+    return _doc_urls(spark, sf_dir).select("doc_id", host_col(F.col("url")).alias("host"))
+
+
+@_q(
+    "crawl_politeness_topk",
+    f"""
+    SELECT host, url_norm, priority FROM (
+      SELECT source AS host, {_DOC_URL_SQL} AS url_norm,
+             CAST(n_chars AS DOUBLE) AS priority,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                                         {_DOC_URL_SQL}) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def crawl_politeness_topk(spark, sf_dir):
+    """A9 through the REAL salted two-phase politeness operator
+    (operators/politeness.schedule_budgeted), verified against the plain
+    per-host top-k SQL — proving salting preserves exact top-k semantics."""
+    fr = _doc_urls(spark, sf_dir).select(
+        F.col("source").alias("host"),
+        F.col("url").alias("url_norm"),
+        F.col("n_chars").cast("double").alias("priority"),
+        F.pmod(F.xxhash64("url"), F.lit(16)).cast("int").alias("salt"),
+        F.lit(5).alias("budget"),
+    )
+    return schedule_budgeted(fr).select("host", "url_norm", "priority")
+
+
+@_q(
+    "crawl_frontier_antijoin",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url_norm, source AS host
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND s.doc_id = d.doc_id)
+    """,
+)
+def crawl_frontier_antijoin(spark, sf_dir):
+    """A7 exact URL dedup (left_anti) through operators/seen.exact_new_urls."""
+    urls = _doc_urls(spark, sf_dir)
+    cand = urls.select(F.col("url").alias("url_norm"), F.col("source").alias("host"))
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("url").alias("url_norm")
+    )
+    return exact_new_urls(cand, seen)
+
+
+@_q("crawl_seen_bloom")  # rows-only: bloom membership is engine-internal
+def crawl_seen_bloom(spark, sf_dir):
+    """A5/A6 bloom build+probe: all seen URLs must probe maybe_seen=true
+    (no false negatives — asserted in pytest; here the driver checks rows)."""
+    urls = _doc_urls(spark, sf_dir).withColumn("url_hash", F.xxhash64("url"))
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url_hash")
+    bloom = build_seen_bloom(seen, nbuckets=16, bits=1 << 14)
+    probed = probe_seen_bloom(
+        urls.select(F.col("url").alias("url_norm"), "url_hash"),
+        bloom,
+        nbuckets=16,
+        bits=1 << 14,
+    )
+    return probed.groupBy("maybe_seen").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "crawl_extract_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted
+    FROM documents
+    WHERE lang = 'en' AND text NOT LIKE '%<%' AND text NOT LIKE '%&%'
+    """,
+)
+def crawl_extract_text(spark, sf_dir):
+    """A13 boilerplate-stripping pandas UDF vs algebraic oracle: wrap each
+    document in boilerplate HTML (nav/script/title), extract, and the result
+    must equal the whitespace-collapsed original text."""
+    from ..functions.extract import extract_text_udf
+
+    d = T(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en")
+        & ~F.col("text").like("%<%")
+        & ~F.col("text").like("%&%")
+    )
+    html = F.encode(
+        F.concat(
+            F.lit(
+                "<html><head><title>boiler</title><script>x=1</script></head>"
+                "<body><nav>nav menu</nav><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><footer>foot</footer></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return d.select("doc_id", extract_text_udf(html).alias("extracted"))
+
+
+@_q(
+    "crawl_fetch_join",
+    f"""
+    WITH sched AS (
+      SELECT url_norm FROM (
+        SELECT {_DOC_URL_SQL} AS url_norm, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                                           {_DOC_URL_SQL}) AS rn
+        FROM documents) WHERE rn <= 5),
+    pages AS (SELECT {_DOC_URL_SQL} AS url_norm, n_chars FROM documents)
+    SELECT s.url_norm, CAST(p.n_chars AS BIGINT) AS n_chars
+    FROM sched s LEFT JOIN pages p ON p.url_norm = s.url_norm
+    """,
+)
+def crawl_fetch_join(spark, sf_dir):
+    """A11 fetch-as-join: scheduled top-k per host joined back to the page
+    corpus (the sandbox fetch path)."""
+    urls = _doc_urls(spark, sf_dir)
+    fr = urls.select(
+        F.col("source").alias("host"),
+        F.col("url").alias("url_norm"),
+        F.col("n_chars").cast("double").alias("priority"),
+        F.pmod(F.xxhash64("url"), F.lit(16)).cast("int").alias("salt"),
+        F.lit(5).alias("budget"),
+    )
+    sched = schedule_budgeted(fr).select("url_norm")
+    pages = urls.select(F.col("url").alias("url_norm"), F.col("n_chars"))
+    return sched.join(pages, "url_norm", "left").select(
+        "url_norm", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# =========================================================================
+# Training-data pipeline: text analysis
+# =========================================================================
+
+
+@_q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+           END AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    r"""
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+             AS stopword_hits,
+           round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                  + (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                 / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0))
+                  + least(CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+                               AS DOUBLE) / 5.0, 1.0)) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        stopword_hits(F.col("text")).alias("stopword_hits"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, ' (el|la|los|las|una) ') THEN 'es'
+                WHEN regexp_matches(text, ' (der|die|und|nicht) ') THEN 'de'
+                ELSE 'en' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# =========================================================================
+# Training-data pipeline: dedup family + similarity search
+# =========================================================================
+
+
+@_q(
+    "dedup_exact_docs",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    return dedup.dedup_exact(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH ws AS (
+      SELECT DISTINCT doc_id AS id, w.word
+      FROM documents,
+           UNNEST(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+             AS w(word)
+      WHERE doc_id < 150 AND length(w.word) > 0),
+    sz AS (SELECT id, COUNT(*) AS sz FROM ws GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM ws a JOIN ws b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-set Jaccard pairs (gated to doc_id<150 to bound the
+    quadratic verify — the ungated path goes through MinHash+LSH below)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.jaccard_pairs(d, threshold=0.5)
+
+
+@_q("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+def dedup_minhash_lsh(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+@_q("dedup_simhash")  # rows-only: signature design is engine-specific
+def dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.simhash_pairs(d, max_hamming=8)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))), 6)
+             AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.95
+    )
+
+
+@_q(
+    "ann_bruteforce_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])))), 6)
+               AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ann_bruteforce(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ann_bruteforce_topk(
+        e.filter(F.col("vec_id") < 5), e, k=3
+    )
+
+
+@_q("ann_lsh_topk")  # rows-only: approximate by construction
+def ann_lsh(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(e.filter(F.col("vec_id") < 5), e, k=3)
+
+
+# =========================================================================
+# Multimodal plumbing (binary columns through mapInPandas)
+# =========================================================================
+
+
+@_q(
+    "multimodal_image_meta",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           'unknown' AS format,
+           CAST(16 + strlen(text) % 640 AS INT) AS width,
+           CAST(16 + (strlen(text) * 7) % 480 AS INT) AS height,
+           1 AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark, sf_dir):
+    """B35 mapInPandas over an opaque binary column: the decode stub derives
+    metadata deterministically from the bytes, so the whole distributed
+    plumbing (schema, Arrow batching, no-shuffle narrow stage) is oracle-
+    checkable even without codec libraries."""
+    from ..functions.multimodal import image_metadata
+
+    d = _doc_urls(spark, sf_dir).select(
+        "url", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return image_metadata(d, "url", "blob").drop("sample_hash")

@@ -42,8 +42,10 @@ def test_schedule_order_matches(spark, engine_log, oracle):
 
 
 def test_seen_set_matches(spark, engine_log, oracle):
+    from opps_feedcrawler_spark.plans.crawl import load_seen
+
     last = engine_log.latest_snapshot_id()
-    seen = engine_log.load_table(spark, last, "seen")
+    seen = load_seen(spark, engine_log, last)
     got = {r.url_norm for r in seen.collect()}
     assert got == oracle.seen
 
@@ -74,9 +76,11 @@ def test_entries_match(spark, engine_log, oracle):
 
 
 def test_frontier_grows_beyond_seeds(spark, engine_log, corpus):
+    from opps_feedcrawler_spark.plans.crawl import load_seen
+
     _, seeds_pdf, _ = corpus
     last = engine_log.latest_snapshot_id()
-    seen = engine_log.load_table(spark, last, "seen").count()
+    seen = load_seen(spark, engine_log, last).count()
     assert seen > len(seeds_pdf)  # link growth happened
 
 

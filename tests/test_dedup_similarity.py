@@ -1,0 +1,111 @@
+"""Quality tests for the dedup family and similarity search: recall of the
+approximate paths measured against their exact baselines on planted
+near-duplicates."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from opps_feedcrawler_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 base docs + 15 planted near-dups (small word edits) + 5 exact dups."""
+    base = [
+        (i, " ".join(f"word{(i * 7 + j) % 97}" for j in range(40)))
+        for i in range(60)
+    ]
+    near = [
+        (100 + i, base[i][1].replace(f"word{(i * 7) % 97}", "changed", 1))
+        for i in range(15)
+    ]
+    exact = [(200 + i, base[i][1]) for i in range(5)]
+    pdf = pd.DataFrame(base + near + exact, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf)
+
+
+def test_dedup_exact_finds_planted(spark, planted_docs):
+    groups = dedup.dedup_exact(planted_docs).filter(F.col("n_docs") > 1).collect()
+    assert len(groups) == 5
+    assert all(g.keep_id < 60 for g in groups)
+
+
+def test_minhash_lsh_recall(spark, planted_docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(planted_docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(planted_docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert len(exact) >= 20  # planted near+exact dups are above 0.8
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, (recall, len(lsh), len(exact))
+
+
+def test_simhash_finds_exact_dups(spark, planted_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(planted_docs, max_hamming=3).collect()
+    }
+    for i in range(5):  # exact dups have hamming 0
+        assert pairs.get((i, 200 + i)) == 0
+
+
+def test_ann_lsh_recall_planted(spark):
+    """LSH recall measured where LSH is meaningful: planted near-duplicate
+    queries (corpus vector + small noise) whose true nearest neighbor is the
+    source vector. (On uniform-random vectors cosine-LSH recall is inherently
+    ~bucket-fraction — there is no structure to exploit.)"""
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") < 20).toPandas()
+    rng = np.random.RandomState(7)
+    rows = []
+    for _, r in base.iterrows():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noisy = v + rng.standard_normal(v.shape) * 0.02 * np.abs(v).mean()
+        rows.append((int(r.vec_id) + 10_000, [float(x) for x in noisy], 0))
+    q = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ann_lsh_topk(q, e, k=1).collect()
+    }
+    hits = sum(1 for qid, nid in top1.items() if nid == qid - 10_000)
+    assert hits >= 16, (hits, len(top1))  # ≥80% recall on planted near-dups
+
+
+def test_ann_bruteforce_is_exact_baseline(spark):
+    """Brute force must rank the planted duplicate first with cos ≈ 1."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    rows = similarity.ann_bruteforce_topk(q, e, k=3).collect()
+    assert {r.query_id for r in rows} == set(range(5))
+    assert all(1 <= r.rank <= 3 and -1.0 <= r.cos <= 1.0 for r in rows)
+
+
+def test_multimodal_plumbing(spark):
+    from opps_feedcrawler_spark.functions.multimodal import image_metadata
+
+    df = spark.createDataFrame(
+        [("u1", b"\x89PNG1234abc"), ("u2", b"\xff\xd8rest"), ("u3", b"plain")],
+        "url string, blob binary",
+    )
+    rows = {r.url: r for r in image_metadata(df).collect()}
+    assert rows["u1"].format == "png" and rows["u2"].format == "jpeg"
+    assert rows["u3"].format == "unknown"
+    assert rows["u1"].n_bytes == 11
+    assert rows["u1"].width == 16 + 11 % 640
+
+    from opps_feedcrawler_spark.functions.multimodal import decode_image_pixels
+
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(b"\x89PNG")

@@ -5,6 +5,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from opps_feedcrawler_spark.functions.extract import (
+    extract_all_py,
     extract_entries_py,
     extract_links_py,
     extract_text_py,
@@ -69,6 +70,22 @@ def test_extract_entries_atom():
     assert es[0]["entry_guid"] == "e1"
     assert es[0]["link"] == "http://b.example/1"
     assert es[0]["published_ts"] == datetime(2024, 3, 4, 12, 30, 0)
+
+
+def test_extract_all_fused_matches_individual():
+    """The fused single-parse path must be output-identical to the three
+    individual extractors — over the unit fixtures AND a real synthetic
+    corpus (the byte-identity contract rides on this)."""
+    from opps_feedcrawler_spark.sources.synth import gen_corpus
+
+    pages, _, _ = gen_corpus(n_hosts=8, n_pages=120, n_seeds=5, seed=3)
+    samples = [(HTML, "http://base.example/dir/page"), (RSS, None), (ATOM, None)]
+    samples += [(h, u) for h, u in zip(pages["html"], pages["url"])]
+    for html, base in samples:
+        text, links, entries = extract_all_py(html, base)
+        assert text == extract_text_py(html)
+        assert links == extract_links_py(html, base)
+        assert entries == extract_entries_py(html)
 
 
 def test_text_udf_matches_pure_fn(spark):

@@ -29,9 +29,11 @@ def test_resume_bit_for_bit(spark, corpus_dfs, tmp_path):
     assert log_b.latest_snapshot_id() == 0
     log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=ROUNDS)
 
+    from opps_feedcrawler_spark.plans.crawl import ROUND_TABLES
+
     assert log_a.snapshot_ids() == log_b.snapshot_ids()
     for r in log_a.snapshot_ids():
-        for name in ("frontier", "seen", "schedule", "fetch_log", "text", "entries"):
+        for name in ROUND_TABLES:
             fa = _table_fingerprint(spark, log_a, r, name)
             fb = _table_fingerprint(spark, log_b, r, name)
             assert fa == fb, (r, name)
