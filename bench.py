@@ -86,9 +86,26 @@ def crawl_bench(cores: int) -> dict:
     # disk like a real warehouse table — crawl sessions read it prepared
     prep_dir = corpus["pages_dir"] + "_prepared"
     if not os.path.exists(os.path.join(prep_dir, "_SUCCESS")):
-        prepare_pages(spark.read.parquet(corpus["pages_dir"])).write.mode(
-            "overwrite"
-        ).parquet(prep_dir)
+        # Size the dedup shuffle for blob volume: the reduce-side sort in
+        # prepare_pages must handle total_html_bytes / partitions per task,
+        # so pin enough partitions that concurrent sorts fit the heap (AQE
+        # coalesces back if the corpus turns out small).
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_wgl = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        # WindowGroupLimit would re-insert a MAP-side sort of the full blob
+        # rows ahead of the exchange — exactly the memory profile
+        # prepare_pages is shaped to avoid; keep the sort reduce-side only.
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "0")
+        try:
+            prepare_pages(spark.read.parquet(corpus["pages_dir"])).write.mode(
+                "overwrite"
+            ).parquet(prep_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.optimizer.windowGroupLimitThreshold", prev_wgl
+            )
     pages = spark.read.parquet(prep_dir)
     seeds = spark.createDataFrame([(u,) for u in corpus["seeds"]], ["url"])
     robots = spark.createDataFrame(

@@ -73,3 +73,83 @@ def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -
             yield out
 
     return df.mapInPandas(_decode, IMAGE_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "url string, n_bytes long, codec string, sample_rate int, "
+    "n_channels int, duration_ms long"
+)
+
+
+def decode_audio_meta(blob: bytes) -> dict:
+    """STUB audio decoder: deterministic fake metadata from the raw bytes.
+    A real deployment replaces this body with soundfile/ffprobe."""
+    n = len(blob)
+    if blob[:4] == b"RIFF":
+        codec = "wav"
+    elif blob[:3] == b"ID3" or blob[:2] == b"\xff\xfb":
+        codec = "mp3"
+    else:
+        codec = "unknown"
+    return {
+        "n_bytes": n,
+        "codec": codec,
+        "sample_rate": 8000 + (n % 3) * 4000,
+        "n_channels": 1 + (n % 2),
+        "duration_ms": n * 10,
+    }
+
+
+def audio_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -> DataFrame:
+    """mapInPandas audio feature-extraction stage (same narrow, Arrow-bounded
+    shape as image_metadata; only the pure decode stub differs)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_audio_meta(bytes(b)) for b in pdf[bin_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "url", pdf[url_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, AUDIO_META_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = "url string, frame_idx int, frame_ms long, frame_hash long"
+
+
+def sample_video_frames(
+    df: DataFrame, url_col: str = "url", bin_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: one OUTPUT ROW PER SAMPLED FRAME
+    (a 1→N expansion inside the Python worker — the shape a real
+    ffmpeg-based sampler has). Frame count/timestamps/hashes are a
+    deterministic stub of the decode step; the Spark-side plumbing
+    (expansion inside mapInPandas, no shuffle, binary never leaves the
+    partition) is the real, tested part."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            idxs: list[int] = []
+            mss: list[int] = []
+            hashes: list[int] = []
+            for url, b in zip(pdf[url_col], pdf[bin_col]):
+                blob = bytes(b)
+                n = len(blob)
+                n_frames = 1 + n % 5
+                for i in range(n_frames):
+                    urls.append(url)
+                    idxs.append(i)
+                    mss.append(i * 1000)
+                    # stub frame hash: position-salted content length
+                    hashes.append((n * 1000003 + i * 8191) % (1 << 62))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ms": pd.array(mss, dtype="int64"),
+                    "frame_hash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_sample, VIDEO_FRAME_SCHEMA)

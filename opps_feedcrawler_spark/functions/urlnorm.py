@@ -133,6 +133,11 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url, na_action="ignore")
 
 
+# Pure but flagged nondeterministic: stops Catalyst from duplicating the
+# UDF across a pushed-down filter + projection (see with_url_cols).
+_canonicalize_udf_once = canonicalize_udf.asNondeterministic()
+
+
 def host_col(url_norm: Column) -> Column:
     """Native (JVM-side) host extraction from an already-canonical URL —
     no UDF needed post-canonicalization."""
@@ -150,9 +155,16 @@ def with_url_cols(
     - salt      = pmod(url_hash, nsalts)  varies WITHIN a host so one
                                            mega-host spreads over nsalts tasks
     Rows whose URL fails canonicalization are dropped (invalid scheme etc.).
+
+    The UDF is marked nondeterministic (it is pure — this is a plan-shape
+    pin): otherwise Catalyst pushes the isNotNull filter beneath the
+    projection and the Python UDF runs TWICE per row (one ArrowEvalPython
+    for the filter, another for the projection) — 2x the Arrow traffic on
+    the crawl's hottest column. Call sites only project/filter, where
+    nondeterminism is legal.
     """
     out = (
-        df.withColumn("url_norm", canonicalize_udf(F.col(url_col)))
+        df.withColumn("url_norm", _canonicalize_udf_once(F.col(url_col)))
         .filter(F.col("url_norm").isNotNull())
         .withColumn("host", host_col(F.col("url_norm")))
         .withColumn("url_hash", F.xxhash64("url_norm"))

@@ -81,16 +81,50 @@ FRONTIER_COLS = ["url_norm", "host", "url_hash", "salt", "depth", "priority"]
 
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
-    """One-time corpus ingestion: canonicalize urls, first-wins dedup.
-    dropDuplicates already leaves the data hash-partitioned by url_norm —
-    adding a repartition would re-shuffle the html (the wide column) a
-    second time for nothing. At 100 TB this step runs ONCE and lands in the
+    """One-time corpus ingestion: canonicalize urls, dedup to one page per
+    url_norm (content-hash winner — deterministic regardless of input
+    order/partitioning).
+
+    Plan shape matters here because rows carry the html blob (the wide
+    column); naive forms blow up at corpus scale:
+    - dropDuplicates/groupBy-first on a binary column compiles to a map-side
+      SortAggregate that sorts EVERY input partition's full blob rows before
+      the shuffle — N concurrent multi-hundred-MB sorts;
+    - a scalar pandas UDF (with_url_cols) on a DataFrame that carries html
+      buffers the full blob rows in per-task JVM row queues while batches
+      round-trip to Python (measured: heap-OOM at 32 tasks × ~10 KB pages).
+    So canonicalization here is ONE mapInPandas stage — Arrow batches stream
+    through Python with bounded memory (maxRecordsPerBatch), html included,
+    nothing queued JVM-side — followed by the dedup window whose sort runs
+    reduce-side only, bounded by spark.sql.shuffle.partitions (sized by the
+    caller for blob volume; AQE coalesces if over-partitioned). One shuffle
+    of the corpus total; at 100 TB this step runs ONCE and lands in the
     warehouse (see bench.py's prepared-pages cache); crawl sessions read it
-    prepared, they never re-shuffle the corpus."""
+    prepared and never re-shuffle the corpus."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.urlnorm import canonicalize_url
+
+    def _canon_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = pdf["url"].map(canonicalize_url, na_action="ignore")
+            keep = norm.notna()
+            yield pd.DataFrame(
+                {"url_norm": norm[keep], "html": pdf["html"][keep]}
+            )
+
+    p = pages.select("url", "html").mapInPandas(
+        _canon_stream, "url_norm string, html binary"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_norm").orderBy(F.xxhash64("html").asc())
     return (
-        with_url_cols(pages, "url")
-        .select("url_norm", "html")
-        .dropDuplicates(["url_norm"])
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 

@@ -17,6 +17,9 @@ Cross-engine exactness rules (so the order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1210,6 +1213,271 @@ def ann_lsh(spark, sf_dir):
 # =========================================================================
 # Multimodal plumbing (binary columns through mapInPandas)
 # =========================================================================
+
+
+# =========================================================================
+# Crawl extraction plane: RSS entries, link growth, robots verdicts
+# =========================================================================
+
+
+@_q(
+    "crawl_rss_entries",
+    f"""
+    SELECT doc_id, 'guid-' || CAST(doc_id AS VARCHAR) AS entry_guid,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           {_DOC_URL_SQL} AS link,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + ((doc_id // 60) % 60) * INTERVAL 1 MINUTE
+             + (doc_id % 60) * INTERVAL 1 SECOND AS published_ts,
+           'Entry for doc ' || CAST(doc_id AS VARCHAR) AS summary
+    FROM documents
+    UNION ALL
+    SELECT doc_id, {_DOC_URL_SQL} || '/extra' AS entry_guid,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' extra' AS title,
+           {_DOC_URL_SQL} || '/extra' AS link,
+           CAST(NULL AS TIMESTAMP) AS published_ts,
+           CAST(NULL AS VARCHAR) AS summary
+    FROM documents
+    """,
+)
+def crawl_rss_entries(spark, sf_dir):
+    """A12 RSS entry extraction vs an algebraic oracle: build a 2-item RSS
+    document per row (item 1 full; item 2 guid-less so entry_guid must fall
+    back to the link, the reference's dedup key [PK]), parse with the
+    Arrow-batched UDF, explode. Exercises guid fallback, RFC-822 pubDate
+    parsing, and missing-field null handling in one pass."""
+    from ..functions.extract import extract_entries_udf
+
+    d = _doc_urls(spark, sf_dir)
+    mm = F.format_string("%02d", (F.floor(F.col("doc_id") / 60) % 60).cast("int"))
+    ss = F.format_string("%02d", (F.col("doc_id") % 60).cast("int"))
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><item><guid>guid-'),
+        F.col("doc_id").cast("string"),
+        F.lit("</guid><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><link>"),
+        F.col("url"),
+        F.lit("</link><pubDate>Mon, 01 Jan 2024 00:"),
+        mm,
+        F.lit(":"),
+        ss,
+        F.lit(" GMT</pubDate><description>Entry for doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</description></item><item><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" extra</title><link>"),
+        F.col("url"),
+        F.lit("/extra</link></item></channel></rss>"),
+    )
+    return d.select(
+        "doc_id", F.explode(extract_entries_udf(rss)).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.entry_guid").alias("entry_guid"),
+        F.col("e.title").alias("title"),
+        F.col("e.link").alias("link"),
+        F.col("e.published_ts").alias("published_ts"),
+        F.col("e.summary").alias("summary"),
+    )
+
+
+@_q(
+    "crawl_link_extract",
+    f"""
+    SELECT doc_id, 0 AS pos,
+           'http://' || source || '.example/doc/' || CAST(doc_id + 1 AS VARCHAR) AS link
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1 AS pos,
+           'http://' || source || '.example/rel/' || CAST(doc_id AS VARCHAR) AS link
+    FROM documents
+    """,
+)
+def crawl_link_extract(spark, sf_dir):
+    """A14 link extraction vs algebraic oracle: an absolute link, a relative
+    link (must resolve against the page url), and a duplicate (must dedup
+    first-wins, preserving document order — checked via posexplode)."""
+    from ..functions.extract import extract_links_udf
+
+    d = _doc_urls(spark, sf_dir)
+    nxt = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example/doc/"),
+        (F.col("doc_id") + 1).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        nxt,
+        F.lit('">n</a><a href="/rel/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">r</a><a href="'),
+        nxt,
+        F.lit('">dup</a></body></html>'),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(extract_links_udf(html, F.col("url"))).alias("pos", "link"),
+    )
+
+
+@_q(
+    "crawl_robots_filter",
+    f"""
+    SELECT doc_id, {_DOC_URL_SQL} AS url_norm,
+           CASE WHEN CAST(doc_id AS VARCHAR) LIKE '12%' THEN true
+                WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN false
+                ELSE true END AS allowed
+    FROM documents
+    """,
+)
+def crawl_robots_filter(spark, sf_dir):
+    """A10 robots verdict through the REAL native longest-prefix operator
+    (operators/robots.with_robots): Disallow /doc/1 beaten by the longer
+    Allow /doc/12 (RFC 9309 §2.2.2), everything else allowed."""
+    from ..operators.robots import with_robots
+
+    d = _doc_urls(spark, sf_dir)
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(1.0).alias("crawl_delay"),
+        F.array(
+            F.struct(F.lit(False).alias("allow"), F.lit("/doc/1").alias("prefix")),
+            F.struct(F.lit(True).alias("allow"), F.lit("/doc/12").alias("prefix")),
+        ).alias("rules"),
+    )
+    fr = d.select(
+        "doc_id", F.col("url").alias("url_norm"), F.col("source").alias("host")
+    )
+    return with_robots(fr, robots).select("doc_id", "url_norm", "allowed")
+
+
+# =========================================================================
+# UDF surface completions: B33 iterator UDF, B37 Python UDTF, pivot, scalar
+# subquery
+# =========================================================================
+
+
+@_q(
+    "iter_udf_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+           END AS n_tokens
+    FROM documents
+    """,
+)
+def iter_udf_token_count(spark, sf_dir):
+    """B33 iterator-form pandas UDF: the compiled regex is built ONCE per
+    Python worker (the batch-expensive-init pattern), then streamed over
+    Arrow batches. Oracle-identical to the JVM-native token_count."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def tokens_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        ws = re.compile(r"\s+")  # expensive init, once per worker
+        for s in batches:
+            stripped = s.fillna("").str.strip()
+            yield stripped.map(
+                lambda t: len(ws.split(t)) if t else 0
+            ).astype("int32")
+
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", tokens_iter(F.col("text")).alias("n_tokens"))
+
+
+@_q(
+    "udtf_split_sentences",
+    r"""
+    SELECT doc_id, trim(s.part) AS sentence
+    FROM documents, UNNEST(string_split(text, '.')) AS s(part)
+    WHERE length(trim(s.part)) > 0
+    """,
+)
+def udtf_split_sentences(spark, sf_dir):
+    """B37 Python UDTF (Spark 4): table-valued sentence splitter consumed
+    via a LATERAL join — the 1→N expansion shape explode can't express when
+    the row logic is imperative."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for part in (text or "").split("."):
+                part = part.strip()
+                if part:
+                    yield doc_id, part
+
+    spark.udtf.register("ofs_split_sentences", SplitSentences)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sentence
+        FROM udtf_docs, LATERAL ofs_split_sentences(doc_id, text) s
+        """
+    )
+
+
+@_q(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark, sf_dir):
+    """Pivot (B14 family): order counts per priority × status with a pinned
+    pivot-value list (deterministic output schema)."""
+    o = T(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("P"),
+    )
+
+
+@_q(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar subquery through Catalyst's subquery rewrite (decimal-exact
+    mean so both engines compare against the identical double)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("ssq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM ssq_orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM ssq_orders)
+        """
+    )
+
+
+@_q("ann_ivf_topk")  # rows-only: approximate by construction
+def ann_ivf(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(e.filter(F.col("vec_id") < 5), e, k=3)
 
 
 @_q(

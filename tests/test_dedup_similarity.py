@@ -109,3 +109,52 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_pixels(b"\x89PNG")
+
+
+def test_ann_ivf_recall_planted(spark):
+    """IVF with n_probe=4/16 cells must still find planted near-duplicate
+    neighbors (query lands in or near its source's cell)."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") < 20).toPandas()
+    rng = np.random.RandomState(11)
+    rows = []
+    for _, r in base.iterrows():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noisy = v + rng.standard_normal(v.shape) * 0.02 * np.abs(v).mean()
+        rows.append((int(r.vec_id) + 10_000, [float(x) for x in noisy], 0))
+    q = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ann_ivf_topk(q, e, k=1, n_cells=16, n_probe=4).collect()
+    }
+    hits = sum(1 for qid, nid in top1.items() if nid == qid - 10_000)
+    assert hits >= 16, (hits, len(top1))
+
+
+def test_multimodal_audio_video_plumbing(spark):
+    from opps_feedcrawler_spark.functions.multimodal import (
+        audio_metadata,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("a1", b"RIFF1234"), ("a2", b"ID3rest"), ("a3", b"xx")],
+        "url string, blob binary",
+    )
+    rows = {r.url: r for r in audio_metadata(df).collect()}
+    assert rows["a1"].codec == "wav" and rows["a2"].codec == "mp3"
+    assert rows["a1"].duration_ms == 80
+
+    frames = sample_video_frames(df).collect()
+    by_url: dict[str, list] = {}
+    for r in frames:
+        by_url.setdefault(r.url, []).append(r)
+    # 1 + n_bytes % 5 frames per blob, contiguous indices, 1s spacing
+    assert len(by_url["a1"]) == 1 + 8 % 5
+    assert len(by_url["a3"]) == 1 + 2 % 5
+    for rs in by_url.values():
+        idxs = sorted(r.frame_idx for r in rs)
+        assert idxs == list(range(len(rs)))
+        assert all(r.frame_ms == r.frame_idx * 1000 for r in rs)

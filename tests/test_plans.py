@@ -56,6 +56,55 @@ def test_semi_anti_join_operators(spark):
     assert "LeftAnti" in _plan(QUERIES["anti_join_idle_customers"](spark, SF_DIR))
 
 
+def test_prepare_pages_dedups_by_content_hash(spark):
+    """Duplicate url_norms (canonical + messy aliases) collapse to ONE row,
+    keeping the min-xxhash64 html — deterministic regardless of input order."""
+    from opps_feedcrawler_spark.plans.crawl import prepare_pages
+
+    rows = [
+        ("http://A.example:80/p/1#frag", b"<p>alias-one</p>"),
+        ("http://a.example/p/1", b"<p>canonical</p>"),
+        ("http://a.example/p/2", b"<p>other</p>"),
+        ("notaurl", b"<p>dropped</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url_norm: bytes(r.html) for r in prepare_pages(pages).collect()}
+    assert set(got) == {"http://a.example/p/1", "http://a.example/p/2"}
+    # reversed input order → identical winner (content-hash, not first-wins)
+    rev = spark.createDataFrame(list(reversed(rows)), "url string, html binary")
+    got_rev = {r.url_norm: bytes(r.html) for r in prepare_pages(rev).collect()}
+    assert got == got_rev
+
+
+def test_prepare_pages_no_mapside_blob_sort(spark):
+    """The dedup sort must sit ABOVE the exchange (reduce-side, bounded by
+    shuffle partitions) — never below it next to the scan, where it would
+    sort every input partition's full blob rows map-side."""
+    from opps_feedcrawler_spark.plans.crawl import prepare_pages
+
+    pages = spark.createDataFrame(
+        [("http://a.example/p/1", b"x")], "url string, html binary"
+    )
+    prev = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "0")
+    try:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            prepare_pages(pages).explain()  # simple tree, printed top-down
+        tree = buf.getvalue().splitlines()
+    finally:
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", prev)
+    sort_lines = [i for i, l in enumerate(tree) if "- Sort " in l]
+    exch_lines = [i for i, l in enumerate(tree) if "- Exchange " in l]
+    assert len(sort_lines) == 1 and len(exch_lines) == 1
+    # tree prints top-down: everything printed AFTER the exchange runs
+    # map-side; the single sort must sit above (before) it
+    assert sort_lines[0] < exch_lines[0]
+
+
 def test_fetch_join_prunes_html_for_metadata_outputs(spark):
     """fetch_log derives from the persisted enriched round table; the
     schedule table itself must never read pages.html."""
