@@ -23,12 +23,18 @@ parallelizes. Total order everywhere: (priority DESC, url_norm ASC).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_CRAWL_DELAY = 1.0
-BUDGET_BASE = 10.0
-MAX_BUDGET = 50
+# Env-tunable so the scaling bench can run rounds at production-scale
+# schedule sizes (a 10^10-URL crawl schedules millions per round); the
+# single-threaded oracle shares these constants, so engine and oracle stay
+# in lock-step under any setting.
+BUDGET_BASE = float(os.environ.get("OFS_BUDGET_BASE", "10.0"))
+MAX_BUDGET = int(os.environ.get("OFS_MAX_BUDGET", "50"))
 
 
 def budget_for_delay(crawl_delay: float | None) -> int:

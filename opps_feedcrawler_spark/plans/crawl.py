@@ -190,15 +190,38 @@ def crawl_round(
 
     # R6-R7: fetch join + ONE fused parse, persisted so every downstream
     # table reads the parsed result instead of re-running join+UDF.
+    #
+    # Join shape is load-bearing at corpus scale: `scheduled LEFT JOIN
+    # pages` puts the small side on the left, where Spark cannot broadcast
+    # it (left-outer builds right only) — the corpus side would be
+    # sort-merge-joined, i.e. EVERY round re-shuffles and re-sorts the full
+    # html-blob table. Instead: broadcast-SEMI-filter the corpus down to
+    # the ~budget-sized hit set (blobs stream map-side, zero blob shuffle),
+    # parse ONCE producing narrow rows, then left-join those narrow parse
+    # results back to the schedule for miss/404 accounting. On a real
+    # cluster where a round's schedule outgrows the broadcast threshold,
+    # the swap is a warehouse bucketed by url_norm (co-located semi join,
+    # still no per-round blob sort) — the round dataflow is unchanged.
+    parsed = (
+        pages_prepared.join(
+            F.broadcast(scheduled.select("url_norm")), "url_norm", "left_semi"
+        )
+        .select(
+            "url_norm",
+            F.length("html").cast("long").alias("bytes"),
+            extract_all_udf("html", "url_norm").alias("ex"),
+        )
+    )
     enriched = (
-        scheduled.join(pages_prepared, "url_norm", "left")
+        scheduled.select("url_norm", "host", "depth")
+        .join(parsed, "url_norm", "left")
         .select(
             "url_norm",
             "host",
             "depth",
-            F.col("html").isNotNull().alias("hit"),
-            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
-            extract_all_udf("html", "url_norm").alias("ex"),
+            F.col("bytes").isNotNull().alias("hit"),
+            F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
+            "ex",
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -233,7 +256,14 @@ def crawl_round(
 
     # R5 seen delta (disjoint from all prior deltas by construction:
     # frontier rows are never in seen, scheduled ∩ disallowed = ∅).
-    seen_delta = scheduled.select("url_norm", "url_hash").unionByName(disallowed)
+    # Persisted: its consumers (seen_delta sink, bloom build, frontier
+    # anti-join) would otherwise each re-run the robots join over the
+    # frontier to recompute `disallowed`.
+    seen_delta = (
+        scheduled.select("url_norm", "url_hash")
+        .unionByName(disallowed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     new_seen = seen.unionByName(seen_delta)
     delta_bloom = build_seen_bloom(seen_delta)
     new_bloom = (
@@ -279,9 +309,37 @@ def crawl_round(
     def cleanup() -> None:
         scheduled.unpersist()
         enriched.unpersist()
+        seen_delta.unpersist()
         new_bloom.unpersist()
 
+    def materialize() -> None:
+        """Fill the round's shared caches with ONE pass each. Must run
+        before the per-table sinks are submitted concurrently: Spark's
+        block manager does not deduplicate in-flight computation of the
+        same partition across jobs, so N racing sinks would each re-run
+        the corpus scan + fused parse (measured: the writes phase collapses
+        from sum-of-jobs to max-of-jobs once the cache is pre-built)."""
+        import os as _os
+        import time as _t
+
+        if _os.environ.get("OFS_CRAWL_DEBUG") == "1":
+            t0 = _t.monotonic()
+            scheduled.count()
+            t1 = _t.monotonic()
+            enriched.count()
+            t2 = _t.monotonic()
+            seen_delta.count()
+            t3 = _t.monotonic()
+            print(
+                f"[crawl r{round_no}]   sched {t1 - t0:.1f}s"
+                f" enrich {t2 - t1:.1f}s seen {t3 - t2:.1f}s"
+            )
+            return
+        enriched.count()  # persists scheduled's blocks as a side effect
+        seen_delta.count()  # scheduled already cached; adds only robots
+
     return {
+        "materialize": materialize,
         "build_frontier": build_frontier,
         "seen_delta": seen_delta,
         "bloom": new_bloom,
@@ -359,12 +417,14 @@ def run_crawl(
         out = crawl_round(
             spark, frontier, seen, bloom, prepared, robots, round_no
         )
-        # The 6 non-frontier tables are independent sinks over shared
-        # persisted intermediates — write them as CONCURRENT Spark jobs so
-        # per-round wall time is max(write), not sum(write). (Thread-safe:
-        # Spark job submission is designed for multi-threaded drivers; the
-        # shared persisted blocks are computed once under block-manager
-        # locking.)
+        # Materialize the shared caches first (one corpus scan + one parse),
+        # THEN write the 6 non-frontier tables as CONCURRENT Spark jobs so
+        # per-round wall time is max(write), not sum(write) — the sinks
+        # only read cached narrow rows at that point.
+        out["materialize"]()
+        if debug:
+            print(f"[crawl r{round_no}] materialize {_time.monotonic() - _t0:.1f}s")
+            _t0 = _time.monotonic()
         first_tables = [n for n in ROUND_TABLES if n != "frontier"]
         with ThreadPoolExecutor(max_workers=len(first_tables)) as pool:
             futs = {

@@ -142,6 +142,90 @@ def q3(spark, sf_dir):
 
 
 @_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA')
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join cycle (customer-supplier nation
+    equality) — the join-graph stressor. Dims broadcast; the fact chain
+    shuffles once per key change; Catalyst prunes region early."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "AMERICA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n.n_name
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer; the returnflag
+    filter pushes into the lineitem scan before the join chain."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
     "broadcast_dim_join",
     """
     SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
@@ -461,6 +545,146 @@ def window_running_total(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "window_ntile_dense_rank",
+    """
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+             AS quartile,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_nationkey) AS INT) AS nation_dr
+    FROM customer
+    """,
+)
+def window_ntile_dense_rank(spark, sf_dir):
+    """B15: ntile + dense_rank with total-order tie-breaks."""
+    c = T(spark, sf_dir, "customer")
+    w_ntile = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_dr = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w_ntile).alias("quartile"),
+        F.dense_rank().over(w_dr).alias("nation_dr"),
+    )
+
+
+@_q(
+    "window_first_last_range",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                                    AND CURRENT ROW) AS orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_range(spark, sf_dir):
+    """B16/B17: first/last over full-frame windows plus a RANGE frame over
+    a timestamp ordering (trailing 30-day order count)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.count(F.lit(1)).over(w_range).alias("orders_30d"),
+    )
+
+
+@_q(
+    "having_big_segments",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) >= 20
+    """,
+)
+def having_big_segments(spark, sf_dir):
+    """B11 + post-aggregation filter (HAVING)."""
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+
+
+@_q(
+    "array_hof_embeddings",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT)
+             AS n_positive,
+           round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x)), 'sum'), 4) AS l1_norm,
+           CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x) > 2.5)) > 0
+                THEN true ELSE false END AS has_outlier
+    FROM embeddings
+    """,
+)
+def array_hof_embeddings(spark, sf_dir):
+    """B23 higher-order functions: filter / transform+aggregate / exists —
+    all JVM-native lambda expressions inside whole-stage codegen."""
+    e = T(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.exists(arr, lambda x: F.abs(x) > 2.5).alias("has_outlier"),
+    )
+
+
+@_q(
+    "percentile_exact_prices",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(MIN(o_totalprice), 4) AS p_min,
+           round(MAX(o_totalprice), 4) AS p_max
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_exact_prices(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont: both linear-interpolate on the sorted values)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 4).alias("p_min"),
+        F.round(F.max("o_totalprice"), 4).alias("p_max"),
     )
 
 
@@ -1354,6 +1578,75 @@ def crawl_robots_filter(spark, sf_dir):
     return with_robots(fr, robots).select("doc_id", "url_norm", "allowed")
 
 
+@_q(
+    "feeds_process_capped",
+    f"""
+    SELECT doc_id AS feed_id,
+           'doc-' || CAST(doc_id AS VARCHAR) AS slug,
+           'default' AS group_name,
+           'guid-' || CAST(doc_id AS VARCHAR) AS entry_guid,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           {_DOC_URL_SQL} AS link,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + ((doc_id // 60) % 60) * INTERVAL 1 MINUTE
+             + (doc_id % 60) * INTERVAL 1 SECOND AS published_ts,
+           'Entry for doc ' || CAST(doc_id AS VARCHAR) AS summary,
+           0 AS pos
+    FROM documents
+    WHERE doc_id % 10 <> 0
+    """,
+)
+def feeds_process_capped(spark, sf_dir):
+    """The reference's end-to-end API (plans/feeds.py): register a feed per
+    document (messy source_url → canonicalization, slug from title,
+    max_entries=1, publish=false every 10th), process against 2-item RSS
+    pages. Oracle = exactly the FIRST item of each published feed."""
+    from ..plans.feeds import process_feeds, register_feeds
+
+    d = _doc_urls(spark, sf_dir)
+    mm = F.format_string("%02d", (F.floor(F.col("doc_id") / 60) % 60).cast("int"))
+    ss = F.format_string("%02d", (F.col("doc_id") % 60).cast("int"))
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><item><guid>guid-'),
+        F.col("doc_id").cast("string"),
+        F.lit("</guid><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><link>"),
+        F.col("url"),
+        F.lit("</link><pubDate>Mon, 01 Jan 2024 00:"),
+        mm,
+        F.lit(":"),
+        ss,
+        F.lit(" GMT</pubDate><description>Entry for doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</description></item><item><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" extra</title><link>"),
+        F.col("url"),
+        F.lit("/extra</link></item></channel></rss>"),
+    )
+    pages = d.select(
+        F.col("url").alias("url_norm"), F.encode(rss, "UTF-8").alias("html")
+    )
+    feeds = d.select(
+        F.col("doc_id").alias("feed_id"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.lit(None).cast("string").alias("slug"),
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.col("source")),
+            F.lit(".EXAMPLE/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("#x"),
+        ).alias("source_url"),
+        F.lit(None).cast("string").alias("group_name"),
+        F.lit("rss").alias("processor"),
+        F.lit(1).alias("max_entries"),
+        (F.col("doc_id") % 10 != 0).alias("publish"),
+    )
+    return process_feeds(register_feeds(feeds), pages)
+
+
 # =========================================================================
 # UDF surface completions: B33 iterator UDF, B37 Python UDTF, pivot, scalar
 # subquery
@@ -1478,6 +1771,46 @@ def scalar_subquery_above_avg(spark, sf_dir):
 def ann_ivf(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(e.filter(F.col("vec_id") < 5), e, k=3)
+
+
+@_q("streaming_watermark_dedup")  # rows-only: streaming runtime, not SQL
+def streaming_watermark_dedup(spark, sf_dir):
+    """B27+B30+B31 through the REAL Structured Streaming pipeline
+    (streaming/ingest.py): file-source readStream → watermark → stateful
+    dropDuplicatesWithinWatermark → tumbling per-host counts, drained with
+    trigger(availableNow) so the run is deterministic. The page-fetch event
+    stream is derived from the events table (url ≈ user_id/event pair, host
+    ≈ event_type) so no data is synthesized."""
+    import tempfile
+
+    from ..streaming.ingest import run_available_now, streaming_page_events
+
+    e = T(spark, sf_dir, "events")
+    src = e.select(
+        F.col("ts"),
+        F.concat(
+            F.lit("http://"), F.col("event_type"), F.lit(".example/u/"),
+            # duplicate urls on purpose: user_id collisions exercise the
+            # stateful dedup
+            (F.col("user_id") % 40).cast("string"),
+        ).alias("url"),
+        F.concat(F.col("event_type"), F.lit(".example")).alias("host"),
+    )
+    base = tempfile.mkdtemp(prefix="ofs-stream-q-")
+    src_dir, out_dir, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    src.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = streaming_page_events(
+        spark, src_dir, "ts timestamp, url string, host string"
+    )
+    run_available_now(stream, out_dir, ckpt)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("host")
+        .agg(
+            F.sum("n_fetched").cast("long").alias("n_fetched"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    )
 
 
 @_q(
