@@ -105,6 +105,36 @@ def test_prepare_pages_no_mapside_blob_sort(spark):
     assert sort_lines[0] < exch_lines[0]
 
 
+def test_fetch_join_streams_corpus_no_blob_sort(spark):
+    """The per-round fetch must broadcast-SEMI-filter the corpus (blobs
+    stream map-side) — never sort-merge-join it (which would re-sort the
+    whole blob table every round)."""
+    from opps_feedcrawler_spark.plans.crawl import (
+        crawl_round,
+        prepare_pages,
+        seeds_to_frontier,
+    )
+    from opps_feedcrawler_spark.sources.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    pp = prepare_pages(pages)
+    seeds = pages.select("url").orderBy("url").limit(50)
+    robots = spark.createDataFrame(
+        [],
+        schema="host string, crawl_delay double, "
+        "rules array<struct<allow:boolean,prefix:string>>",
+    )
+    out = crawl_round(
+        spark, seeds_to_frontier(seeds),
+        spark.createDataFrame([], "url_norm string, url_hash long"),
+        None, pp, robots, 0,
+    )
+    plan = _plan(out["fetch_log"])
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    out["cleanup"]()
+
+
 def test_fetch_join_prunes_html_for_metadata_outputs(spark):
     """fetch_log derives from the persisted enriched round table; the
     schedule table itself must never read pages.html."""
