@@ -125,12 +125,36 @@ def host_of(url_norm: str | None) -> str | None:
     return rest.split("/", 1)[0]
 
 
+# Vectorized already-canonical sniff: a URL matching this is PROVEN to be a
+# fixed point of canonicalize_url (property-tested in test_urlnorm), so the
+# per-row Python path is skipped for it. Conservative by construction:
+#   - scheme/host lowercase, host ends alphanumeric (no trailing dot),
+#     no userinfo, no port (default or otherwise), no %-escapes,
+#   - path of one-or-more segments from the unreserved/sub-delim set,
+#     excluding "." entirely (so no dot-segments), no trailing slash,
+#   - no query (query rules involve sorting/tracking-param drops), no
+#     fragment.
+# Link extraction output is dominated by already-canonical URLs, so this
+# one str.match turns the crawl's hottest UDF mostly into a memcpy.
+import re as _re
+
+_FAST_CANONICAL = _re.compile(
+    r"^https?://"
+    r"[a-z0-9]([a-z0-9-]*[a-z0-9])?(\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)*"
+    r"(/[A-Za-z0-9_~:@!$&'()*+,;=-]+)+$"
+)
+
+
 @pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalization (B32). URL parsing is not expressible
     in native Spark SQL functions with RFC 3986 fidelity; this is one of the
-    sanctioned Python boundaries (BASELINE.json:16)."""
-    return urls.map(canonicalize_url, na_action="ignore")
+    sanctioned Python boundaries (BASELINE.json:16). Rows proven canonical
+    by the vectorized _FAST_CANONICAL match pass through untouched; only the
+    remainder runs the full per-row RFC 3986 path."""
+    fast = urls.str.match(_FAST_CANONICAL, na=False)
+    out = urls.where(fast, urls[~fast].map(canonicalize_url, na_action="ignore"))
+    return out
 
 
 # Pure but flagged nondeterministic: stops Catalyst from duplicating the

@@ -67,3 +67,60 @@ def test_with_url_cols(spark):
     assert r.host == "example.com"
     assert isinstance(r.url_hash, int)
     assert 0 <= r.salt < 16
+
+
+# --- fast-path soundness: _FAST_CANONICAL must only accept fixed points ---
+
+_seg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789_~:@!$&'()*+,;=-",
+    min_size=1,
+    max_size=8,
+)
+_label = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,6}[a-z0-9])?", fullmatch=True)
+
+
+@given(
+    scheme=st.sampled_from(["http", "https"]),
+    labels=st.lists(_label, min_size=1, max_size=4),
+    segs=st.lists(_seg, min_size=1, max_size=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_fast_canonical_accepts_only_fixed_points(scheme, labels, segs):
+    """Any URL the vectorized fast path accepts must be a fixed point of
+    canonicalize_url — otherwise the fast path would change results."""
+    from opps_feedcrawler_spark.functions.urlnorm import _FAST_CANONICAL
+
+    url = f"{scheme}://{'.'.join(labels)}/{'/'.join(segs)}"
+    if _FAST_CANONICAL.match(url):
+        assert canonicalize_url(url) == url
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_fast_canonical_random_strings_sound(s):
+    from opps_feedcrawler_spark.functions.urlnorm import _FAST_CANONICAL
+
+    if _FAST_CANONICAL.match(s):
+        assert canonicalize_url(s) == s
+
+
+def test_udf_fast_path_equals_pure_function(spark):
+    """canonicalize_udf (with the fast path) must equal the pure function on
+    the messy synthetic corpus (canonical + all alias flavors + junk)."""
+    import pandas as pd
+
+    from opps_feedcrawler_spark.functions.urlnorm import canonicalize_udf
+    from opps_feedcrawler_spark.sources.synth import gen_corpus
+
+    pages, seeds, _ = gen_corpus(n_hosts=12, n_pages=300, n_seeds=60, seed=3)
+    urls = list(pages["url"]) + list(seeds["url"]) + [
+        "HTTP://X.example:80/./a?utm_source=1&z=2#f",
+        "http://ok.example/p/1",
+        None,
+        "junk",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"u": urls}))
+    got = [r.c for r in df.select(canonicalize_udf("u").alias("c")).collect()]
+    want = [canonicalize_url(u) for u in urls]
+    assert got == want
