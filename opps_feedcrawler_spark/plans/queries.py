@@ -1171,6 +1171,36 @@ def crawl_seen_bloom(spark, sf_dir):
     return probed.groupBy("maybe_seen").agg(F.count(F.lit(1)).alias("n"))
 
 
+@_q("crawl_seen_cuckoo")  # rows-only: filter structure is engine-internal
+def crawl_seen_cuckoo(spark, sf_dir):
+    """A5/A6 cuckoo variant (operators/cuckoo.py): build from seen hashes,
+    probe all urls, then DELETE a third of the seen set and re-probe — the
+    un-see capability the bloom lacks. Counts per (phase, maybe_seen)."""
+    from ..operators.cuckoo import (
+        build_seen_cuckoo,
+        delete_from_cuckoo,
+        probe_seen_cuckoo,
+    )
+
+    urls = _doc_urls(spark, sf_dir).withColumn("url_hash", F.xxhash64("url"))
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url_hash")
+    ck = build_seen_cuckoo(seen)
+    before = (
+        probe_seen_cuckoo(urls.select("url_hash"), ck)
+        .groupBy("maybe_seen")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("phase", F.lit("built"))
+    )
+    ck2 = delete_from_cuckoo(ck, urls.filter(F.col("doc_id") % 9 == 0).select("url_hash"))
+    after = (
+        probe_seen_cuckoo(urls.select("url_hash"), ck2)
+        .groupBy("maybe_seen")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("phase", F.lit("deleted"))
+    )
+    return before.unionByName(after).select("phase", "maybe_seen", "n")
+
+
 @_q(
     "crawl_extract_text",
     r"""
