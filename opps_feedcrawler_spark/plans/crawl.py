@@ -270,9 +270,10 @@ def crawl_round(
         merge_blooms(bloom, delta_bloom) if bloom is not None else delta_bloom
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # R8-R9 frontier' — returned as a BUILDER so the caller can first write
-    # (= materialize exactly once) the bloom table, then pass it back for
-    # probing without re-triggering the bloom DAG. Keeps crawl_round fully
+    # R8-R9 frontier' — returned as a BUILDER: the caller materializes the
+    # (persisted) bloom first, then builds the frontier plan against it —
+    # the probe reads cached bitset blocks, so the frontier write can run
+    # CONCURRENTLY with the bloom's own sink. Keeps crawl_round fully
     # lazy: no collect/job happens while the round plan is being built.
     links = hits.select(
         F.explode("ex.links").alias("url"), (F.col("depth") + 1).alias("depth")
@@ -285,7 +286,7 @@ def crawl_round(
     # scheduled ∪ disallowed = seen_delta, so one anti-join removes both
     remainder = frontier.join(seen_delta.select("url_norm"), "url_norm", "left_anti")
 
-    def build_frontier(committed_bloom: DataFrame) -> DataFrame:
+    def build_frontier(round_bloom: DataFrame) -> DataFrame:
         """Bloom probe via the broadcast path (one narrow Arrow stage) when
         the bitset table fits the driver; cogrouped shuffle path otherwise
         (a 10^10-URL bloom is ~12 GiB — see operators/seen.py)."""
@@ -298,10 +299,10 @@ def crawl_round(
         )
 
         if NBUCKETS * (BITS_PER_BUCKET // 8) <= BROADCAST_BLOOM_MAX_BYTES:
-            bcast = bloom_to_broadcast(spark, committed_bloom)
+            bcast = bloom_to_broadcast(spark, round_bloom)
             fresh = filter_new_urls_broadcast(cand, new_seen, bcast)
         else:
-            fresh = filter_new_urls(cand, new_seen, committed_bloom)
+            fresh = filter_new_urls(cand, new_seen, round_bloom)
         return _min_depth_frontier(
             remainder.select(*FRONTIER_COLS).unionByName(fresh.select(*FRONTIER_COLS))
         )
@@ -330,13 +331,17 @@ def crawl_round(
             t2 = _t.monotonic()
             seen_delta.count()
             t3 = _t.monotonic()
+            new_bloom.count()
+            t4 = _t.monotonic()
             print(
                 f"[crawl r{round_no}]   sched {t1 - t0:.1f}s"
                 f" enrich {t2 - t1:.1f}s seen {t3 - t2:.1f}s"
+                f" bloom {t4 - t3:.1f}s"
             )
             return
         enriched.count()  # persists scheduled's blocks as a side effect
         seen_delta.count()  # scheduled already cached; adds only robots
+        new_bloom.count()  # bloom cache ready for sink + frontier probe
 
     return {
         "materialize": materialize,
@@ -417,29 +422,31 @@ def run_crawl(
         out = crawl_round(
             spark, frontier, seen, bloom, prepared, robots, round_no
         )
-        # Materialize the shared caches first (one corpus scan + one parse),
-        # THEN write the 6 non-frontier tables as CONCURRENT Spark jobs so
-        # per-round wall time is max(write), not sum(write) — the sinks
-        # only read cached narrow rows at that point.
+        # Materialize the shared caches first (one corpus scan + one parse +
+        # one bloom build — Spark's block manager does not dedupe in-flight
+        # computation across jobs), THEN write ALL 7 round tables as
+        # CONCURRENT Spark jobs so per-round wall time is max(write), not
+        # sum(write): every sink, including the frontier (whose bloom probe
+        # reads the cached bitsets), only consumes cached narrow rows.
         out["materialize"]()
         if debug:
             print(f"[crawl r{round_no}] materialize {_time.monotonic() - _t0:.1f}s")
             _t0 = _time.monotonic()
-        first_tables = [n for n in ROUND_TABLES if n != "frontier"]
-        with ThreadPoolExecutor(max_workers=len(first_tables)) as pool:
+        frontier_df = out["build_frontier"](out["bloom"])
+        with ThreadPoolExecutor(max_workers=len(ROUND_TABLES)) as pool:
             futs = {
-                name: pool.submit(log.write_table, out[name], round_no, name)
-                for name in first_tables
+                name: pool.submit(
+                    log.write_table,
+                    frontier_df if name == "frontier" else out[name],
+                    round_no,
+                    name,
+                )
+                for name in ROUND_TABLES
             }
             manifests = {name: f.result() for name, f in futs.items()}
         if debug:
             print(f"[crawl r{round_no}] writes {_time.monotonic() - _t0:.1f}s")
             _t0 = _time.monotonic()
-        # bloom is now on disk (tiny); read it back for the frontier probe
-        # so the bloom DAG is never executed twice.
-        committed_bloom = spark.read.parquet(manifests["bloom"]["path"])
-        frontier_df = out["build_frontier"](committed_bloom)
-        manifests["frontier"] = log.write_table(frontier_df, round_no, "frontier")
         out["cleanup"]()
         if debug:
             print(f"[crawl r{round_no}] frontier {_time.monotonic() - _t0:.1f}s")
