@@ -31,7 +31,43 @@ from ..functions.textstats import fingerprint, normalize_ws
 
 N_MINHASH = 64
 N_BANDS = 16  # rows per band = 4
-_MERSENNE = (1 << 61) - 1
+# Universal-hash modulus: Mersenne prime 2^31-1. Operands are masked to 31
+# bits so every a*x+b product stays < 2^62 — plain int64 numpy arithmetic,
+# no object-dtype big-int fallback (that was the round-1 per-row slow path).
+_MERSENNE31 = (1 << 31) - 1
+_MINHASH_RNG = np.random.RandomState(1234)
+_MH_A = _MINHASH_RNG.randint(1, _MERSENNE31, size=N_MINHASH).astype(np.int64)
+_MH_B = _MINHASH_RNG.randint(0, _MERSENNE31, size=N_MINHASH).astype(np.int64)
+# 16-byte key pins pandas' SipHash so word hashes are stable across
+# workers/sessions (the determinism contract of BASELINE.json:6).
+_WORD_HASH_KEY = "ofs-word-hash-16"
+
+
+def _hash_words_u64(flat_words: np.ndarray) -> np.ndarray:
+    """Vectorized word→uint64 hash over a flat object array of strings:
+    one C-speed SipHash pass (pandas hash_array, fixed key) instead of a
+    per-word Python hashlib loop. `categorize=True` hashes each distinct
+    word once — web text repeats words heavily."""
+    if len(flat_words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        flat_words, hash_key=_WORD_HASH_KEY, categorize=True
+    )
+
+
+def _flatten_word_lists(words: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat words object array, per-doc lengths, reduceat offsets for the
+    non-empty docs). Shared by the MinHash and SimHash kernels."""
+    lens = np.fromiter(
+        (0 if ws is None else len(ws) for ws in words), dtype=np.int64, count=len(words)
+    )
+    chunks = [
+        np.asarray(ws, dtype=object) for ws in words if ws is not None and len(ws)
+    ]
+    flat = np.concatenate(chunks) if chunks else np.empty(0, dtype=object)
+    nz = lens[lens > 0]
+    offsets = np.r_[0, np.cumsum(nz)[:-1]].astype(np.int64)
+    return flat, lens, offsets
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -89,33 +125,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-set Jaccard computed ONLY for the given (id_a, id_b)
+    candidate pairs. Word sets are first semi-joined down to the ids that
+    appear in `pairs`, and the intersection join is driven by the pair
+    list, so total work is O(Σ shared words over candidate pairs) — the
+    candidate generator bounds the cost, never an all-pairs word self-join.
+    Pairs sharing no words get jaccard 0. Output: id_a, id_b, jaccard."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    ws = word_sets(docs, id_col, text_col).join(ids, "id", "left_semi")
+    sizes = ws.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(ws.withColumnRenamed("id", "id_a"), "id_a")
+        .join(ws.select(F.col("id").alias("id_b"), "word"), ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(words: pd.Series) -> pd.Series:
-    """N_MINHASH min-hashes per word set (Arrow-batched, numpy-vectorized).
-    Universal hashing (a*x+b) mod p over murmur-free 64-bit word hashes
-    derived with Python's stable hash substitute (md5-based)."""
-    import hashlib
-
-    rng = np.random.RandomState(1234)
-    a = rng.randint(1, _MERSENNE, size=N_MINHASH, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=N_MINHASH, dtype=np.int64)
-
-    def word_hash(w: str) -> int:
-        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") >> 1
-
-    out = []
-    for ws in words:
-        if ws is None or len(ws) == 0:
-            out.append([0] * N_MINHASH)
-            continue
-        x = np.array([word_hash(w) for w in ws], dtype=np.int64)
-        # (a ⊗ x + b) mod p, minimized over words → (N_MINHASH,)
-        m = (
-            (a[None, :].astype(object) * x[:, None].astype(object) + b[None, :])
-            % _MERSENNE
-        ).min(axis=0)
-        out.append([int(v) for v in m])
-    return pd.Series(out, dtype=object)
+    """N_MINHASH min-hashes per word set — fully vectorized per Arrow
+    batch, no per-word Python: flatten the batch's word lists, one C-speed
+    hash pass over all words, then for each of the N_MINHASH universal
+    hashes one (a*x+b) mod p pass plus a per-doc segment-min via
+    np.minimum.reduceat. Peak temp memory is O(total words), not
+    O(words × N_MINHASH). Empty/null word sets → the all-zero signature."""
+    flat, lens, offsets = _flatten_word_lists(words)
+    full = np.zeros((len(words), N_MINHASH), dtype=np.int64)
+    if len(flat):
+        x = (_hash_words_u64(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        mins = np.empty((len(offsets), N_MINHASH), dtype=np.int64)
+        for i in range(N_MINHASH):
+            mins[:, i] = np.minimum.reduceat(
+                (x * _MH_A[i] + _MH_B[i]) % _MERSENNE31, offsets
+            )
+        full[lens > 0] = mins
+    return pd.Series(full.tolist())
 
 
 def minhash_signatures(
@@ -169,11 +235,12 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    exact = jaccard_pairs(docs, 0.0, id_col, text_col).withColumnRenamed(
-        "jaccard", "jaccard_exact"
-    )
+    # Verify is CANDIDATE-GATED: exact Jaccard is computed only for the
+    # LSH candidate pairs, never all-pairs — the pair count (and so the
+    # verify cost) stays bounded by the banding + bucket cap above.
     return (
-        cand.join(exact, ["id_a", "id_b"], "inner")
+        jaccard_for_pairs(docs, cand, id_col, text_col)
+        .withColumnRenamed("jaccard", "jaccard_exact")
         .filter(F.col("jaccard_exact") >= threshold)
         .select("id_a", "id_b", "jaccard_exact")
     )
@@ -181,27 +248,21 @@ def minhash_lsh_pairs(
 
 @pandas_udf(LongType())
 def simhash_udf(words: pd.Series) -> pd.Series:
-    """64-bit SimHash over the word multiset (Arrow-batched)."""
-    import hashlib
-
-    def sim(ws) -> int:
-        if ws is None or len(ws) == 0:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in ws:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
+    """64-bit SimHash over the word multiset — vectorized per Arrow batch:
+    one C-speed hash pass over the flattened words, then per bit position a
+    ±1 contribution pass with per-doc segment-sum via np.add.reduceat.
+    Empty/null word sets → 0."""
+    flat, lens, offsets = _flatten_word_lists(words)
+    out = np.zeros(len(words), dtype=np.uint64)
+    if len(flat):
+        h = _hash_words_u64(flat)
+        acc = np.zeros(len(offsets), dtype=np.uint64)
         for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return pd.Series([sim(ws) for ws in words], dtype="int64")
+            bit = ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int32)
+            s = np.add.reduceat(2 * bit - 1, offsets)
+            acc |= (s > 0).astype(np.uint64) << np.uint64(i)
+        out[lens > 0] = acc
+    return pd.Series(out.view(np.int64), dtype="int64")
 
 
 def simhash_pairs(

@@ -50,6 +50,33 @@ def test_minhash_lsh_recall(spark, planted_docs):
     assert recall >= 0.9, (recall, len(lsh), len(exact))
 
 
+def test_minhash_verify_candidate_gated(spark, planted_docs):
+    """The exact-Jaccard verify must be driven by the LSH candidate list
+    (word sets semi-joined down to candidate ids), never an ungated
+    all-pairs word self-join — the 100 TB scale contract of the module
+    docstring."""
+    plan = (
+        dedup.minhash_lsh_pairs(planted_docs, threshold=0.8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan  # word_sets gated to candidate ids
+
+    # behavioral check of jaccard_for_pairs itself: only requested pairs
+    # come back, disjoint pairs score 0
+    pairs = spark.createDataFrame(
+        [(0, 200), (0, 30)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_for_pairs(planted_docs, pairs).collect()
+    }
+    assert set(got) == {(0, 200), (0, 30)}
+    assert got[(0, 200)] == 1.0  # planted exact dup
+    assert got[(0, 30)] < 1.0
+
+
 def test_simhash_finds_exact_dups(spark, planted_docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
