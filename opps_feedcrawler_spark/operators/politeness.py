@@ -73,8 +73,58 @@ def schedule_budgeted(frontier: DataFrame, budget_col: str = "budget") -> DataFr
 def with_global_sequence(scheduled: DataFrame, round_no: int) -> DataFrame:
     """Assign the round-global schedule order seq (1-based) by
     (priority DESC, url_norm) — the operational definition of "crawl
-    ordering matches the reference" (SURVEY.md §4.2.2; BASELINE.json:6,14)."""
-    w = Window.orderBy(F.col("priority").desc(), F.col("url_norm").asc())
-    return scheduled.withColumn("seq", F.row_number().over(w)).withColumn(
-        "round", F.lit(round_no)
+    ordering matches the reference" (SURVEY.md §4.2.2; BASELINE.json:6,14).
+
+    Two-phase at scale: a bare ``Window.orderBy`` serializes the whole
+    round's schedule through ONE task (the round-1 weak spot at the
+    millions-per-round production profile). Instead the rows are
+    range-partitioned on the sort key (parallel range sort; explicit
+    partition count so AQE never re-splits it mid-plan), seq is computed
+    per range partition, and per-partition row counts — one tiny row per
+    partition — are prefix-summed and broadcast-joined back as offsets.
+    seq values are byte-identical to the single-window form: range
+    partitions respect the same total order, (priority, url_norm) is a
+    unique key, and the prefix sum restores the global rank — for ANY
+    boundary placement, which is what makes this safe: RangePartitioner's
+    boundary sampling is seeded by the RDD id, so two materializations of
+    the same subtree pick different boundaries (measured). The ranged rows
+    are therefore persisted and both phases read that ONE materialization
+    (the counts stage fills the cache, the probe side reads it; a lost
+    block recomputes from the already-written shuffle whose boundaries are
+    baked in). The caller owns unpersisting via the `.ofs_unpersist`
+    attribute on the result (crawl_round wires it into the round cleanup)."""
+    from pyspark.storagelevel import StorageLevel
+
+    order = [F.col("priority").desc(), F.col("url_norm").asc()]
+    nparts = int(
+        scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    # monotonically_increasing_id over the range-sorted rows encodes
+    # (partition index << 33) + within-partition offset — both phases in
+    # one narrow projection, no second shuffle and no single-task window.
+    local = (
+        scheduled.repartitionByRange(nparts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn(
+            "_lseq", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("seq", (F.col("_lseq") + F.col("_off")).cast("int"))
+        .withColumn("round", F.lit(round_no))
+        .drop("_pid", "_lseq", "_mid", "_off")
+    )
+    out.ofs_unpersist = lambda: local.unpersist()
+    return out

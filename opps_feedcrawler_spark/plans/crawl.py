@@ -184,7 +184,8 @@ def crawl_round(
         .drop("budget", "allowed", "crawl_delay")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    schedule = with_global_sequence(scheduled, round_no).select(
+    sequenced = with_global_sequence(scheduled, round_no)
+    schedule = sequenced.select(
         "round", "seq", "url_norm", "host", "priority", "depth"
     )
 
@@ -309,6 +310,7 @@ def crawl_round(
 
     def cleanup() -> None:
         scheduled.unpersist()
+        sequenced.ofs_unpersist()
         enriched.unpersist()
         seen_delta.unpersist()
         new_bloom.unpersist()

@@ -159,3 +159,31 @@ def test_fetch_join_prunes_html_for_metadata_outputs(spark):
     sched_plan = _plan(out["schedule"])
     assert "html" not in sched_plan  # politeness/ordering never touches html
     out["cleanup"]()
+
+
+def test_global_sequence_no_single_task_data_sort(spark):
+    """with_global_sequence must range-partition the schedule (parallel
+    sort) — never funnel the round's rows through one task. The only
+    SinglePartition window allowed is the tiny per-partition-counts offset
+    scan (input bounded by the partition count)."""
+    from opps_feedcrawler_spark.operators.politeness import with_global_sequence
+
+    rows = [
+        (f"http://h{i % 7}.example/p/{i}", f"h{i % 7}.example", 1.0 / (1 + i % 3), i % 3)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "url_norm string, host string, priority double, depth int"
+    )
+    out = with_global_sequence(df, 0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the schedule rows flow through a RangePartitioning repartition...
+    assert "REPARTITION_BY_NUM" in plan or "RepartitionByExpression" in plan
+    # ...and the only global (unpartitioned) window is over the counts agg
+    import re
+
+    for m in re.finditer(r"Window \[sum\(_n\)", plan):
+        pass  # offsets window exists — its input is the tiny aggregate
+    # no row_number window over the full schedule without partition keys:
+    assert not re.search(r"Window \[row_number\(\)[^\n]*\]\s*$", plan, re.M)
+    out.ofs_unpersist()
