@@ -72,34 +72,61 @@ def _empty_table() -> np.ndarray:
 def _insert_into(table: np.ndarray, hashes: np.ndarray, rng_seed: int) -> int:
     """Insert all hashes into table (mutates). Returns count NOT placed
     (table overfull — callers treat those keys as maybe_seen=True, keeping
-    the no-false-negative contract). Vectorized first-pass, per-item kicks
-    only for the remainder. Deterministic: eviction choice seeded."""
+    the no-false-negative contract). Deterministic: eviction choice seeded.
+
+    Shape: three vectorized passes drain the bulk in O(n) numpy —
+    (1) within-batch (i1, fp) de-dup, (2) already-present filter against
+    the existing table, (3) bucketed scatter where the r-th key of a
+    bucket claims the bucket's r-th free slot — and only the residue
+    (keys whose primary bucket ran out of free slots) runs the classic
+    per-item i2-then-evict loop in Python."""
     fp = _fingerprint(hashes)
     i1 = _index1(hashes)
     i2 = _alt_index(i1, fp)
-    rng = np.random.RandomState(rng_seed)
-    failed = 0
-    # de-dup within the batch: identical (i1, fp) pairs insert once
+    # pass 1 — de-dup within the batch: identical (i1, fp) pairs once
     _, first = np.unique(
         i1.astype(np.uint64) << np.uint64(16) | fp.astype(np.uint64),
         return_index=True,
     )
-    for k in np.sort(first):
-        f, a, b = fp[k], i1[k], i2[k]
-        row_a, row_b = table[a], table[b]
-        if (row_a == f).any() or (row_b == f).any():
-            continue  # already present
-        ea = np.where(row_a == 0)[0]
-        if len(ea):
-            row_a[ea[0]] = f
-            continue
+    keep = np.sort(first)
+    fp, i1, i2 = fp[keep], i1[keep], i2[keep]
+    # pass 2 — drop keys already present in either candidate bucket
+    present = (table[i1] == fp[:, None]).any(axis=1) | (
+        table[i2] == fp[:, None]
+    ).any(axis=1)
+    fp, i1, i2 = fp[~present], i1[~present], i2[~present]
+    # pass 3 — bucketed scatter into i1's free slots: sort keys by bucket,
+    # rank r within its bucket claims the bucket's r-th empty slot (both
+    # ranks and slot targets computed vectorized; buckets are disjoint
+    # table rows, ranks are distinct within a bucket, so no write races)
+    order = np.argsort(i1, kind="stable")
+    fp, i1, i2 = fp[order], i1[order], i2[order]
+    if len(i1):
+        starts = np.r_[True, i1[1:] != i1[:-1]]
+        run_start = np.arange(len(i1))[starts]
+        rank = np.arange(len(i1)) - np.repeat(run_start, np.diff(np.r_[run_start, len(i1)]))
+        emp = table[i1] == 0  # (n, SLOTS) — emptiness BEFORE this pass
+        cumempty = np.cumsum(emp, axis=1)
+        placed = np.zeros(len(i1), dtype=bool)
+        for s in range(SLOTS_PER_BUCKET):
+            take = (~placed) & emp[:, s] & (cumempty[:, s] == rank + 1)
+            table[i1[take], s] = fp[take]
+            placed |= take
+        rest = np.where(~placed)[0]
+    else:
+        rest = np.empty(0, dtype=np.int64)
+    # residue — per-item alternate-bucket try, then seeded eviction loop
+    rng = np.random.RandomState(rng_seed)
+    failed = 0
+    for k in rest:
+        f, b = fp[k], i2[k]
+        row_b = table[b]
         eb = np.where(row_b == 0)[0]
         if len(eb):
             row_b[eb[0]] = f
             continue
-        # eviction loop
-        cur_f, cur_i = f, int(a if rng.randint(2) else b)
-        placed = False
+        cur_f, cur_i = f, int(i1[k] if rng.randint(2) else b)
+        placed_one = False
         for _kick in range(MAX_KICKS):
             slot = rng.randint(SLOTS_PER_BUCKET)
             cur_f, table[cur_i, slot] = table[cur_i, slot], cur_f
@@ -107,9 +134,9 @@ def _insert_into(table: np.ndarray, hashes: np.ndarray, rng_seed: int) -> int:
             empty = np.where(table[cur_i] == 0)[0]
             if len(empty):
                 table[cur_i, empty[0]] = cur_f
-                placed = True
+                placed_one = True
                 break
-        if not placed:
+        if not placed_one:
             # place back best-effort marker is impossible; count as overflow
             failed += 1
     return failed
@@ -190,11 +217,21 @@ def delete_from_cuckoo(
 ) -> DataFrame:
     """Remove fingerprints for deletes(url_hash) — the capability the bloom
     cannot offer (recrawl-after-TTL un-seeing). One matching fingerprint
-    copy is cleared per deleted key, cogrouped per shard."""
+    copy is cleared per deleted key, cogrouped per shard.
+
+    PRECONDITION (the classic cuckoo-filter deletion contract, Fan et al.
+    §3.3): every deleted key must have been previously inserted and not
+    already deleted. Deleting a never-inserted key can clear a colliding
+    key's identical fingerprint, breaking the no-false-negative guarantee
+    for that other key. Duplicate url_hash rows in `deletes` are collapsed
+    here (one clear per key); inserted-ness cannot be checked from the
+    filter alone — callers that cannot prove it should inner-join their
+    delete set against the exact seen table first (recrawl_expire below
+    does exactly that)."""
     dels = deletes.select(
         "url_hash",
         F.pmod(F.col("url_hash"), F.lit(nshards)).cast("int").alias("bucket"),
-    )
+    ).dropDuplicates(["url_hash"])
 
     def _delete(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -228,3 +265,35 @@ def delete_from_cuckoo(
         .cogroup(dels.groupBy("bucket"))
         .applyInPandas(_delete, "bucket int, table binary, overflow long")
     )
+
+
+def recrawl_expire(
+    seen: DataFrame,
+    cuckoo: DataFrame,
+    expired: DataFrame,
+    nshards: int = NBUCKETS_CK,
+) -> tuple[DataFrame, DataFrame]:
+    """Recrawl-after-TTL: un-see `expired` URLs so the next round can
+    schedule them again (the deletable-filter capability that motivates
+    the cuckoo variant over the bloom — module header; BASELINE.json:6).
+
+    Returns (new_seen, new_cuckoo):
+    - new_seen  = seen ANTI-JOIN expired on url_norm — membership truth
+      stays the exact table, exactly as in the forward path (A7);
+    - new_cuckoo = delete_from_cuckoo over expired ∩ seen — the inner
+      join enforces delete_from_cuckoo's only-previously-inserted
+      precondition even when callers pass expiry candidates that were
+      never crawled.
+
+    Shape at scale: one 16-byte-key anti-join plus one cogrouped Arrow
+    pass over the filter shards; the seen table is never rewritten beyond
+    the anti-join output the caller chooses to persist."""
+    expired_keys = expired.select("url_norm", "url_hash").dropDuplicates(["url_norm"])
+    new_seen = seen.join(
+        expired_keys.select("url_norm"), "url_norm", "left_anti"
+    )
+    safe_deletes = expired_keys.join(
+        seen.select("url_norm").distinct(), "url_norm", "left_semi"
+    ).select("url_hash")
+    new_cuckoo = delete_from_cuckoo(cuckoo, safe_deletes, nshards)
+    return new_seen, new_cuckoo

@@ -161,6 +161,7 @@ def crawl_round(
     pages_prepared: DataFrame,
     robots: DataFrame,
     round_no: int,
+    fetch_mode: str = "corpus",
 ) -> dict:
     """Run one round. Returns dict with result DataFrames; caller MUST
     materialize (write) them, then call ['cleanup']() to drop the round's
@@ -203,15 +204,22 @@ def crawl_round(
     # cluster where a round's schedule outgrows the broadcast threshold,
     # the swap is a warehouse bucketed by url_norm (co-located semi join,
     # still no per-round blob sort) — the round dataflow is unchanged.
-    parsed = (
-        pages_prepared.join(
+    if fetch_mode == "http":
+        # Production fetch: mapInPandas HTTP with a per-partition
+        # connection pool (sources/httpfetch.py). Same downstream shape —
+        # html bytes are born executor-side and parsed in the next narrow
+        # stage, never shuffled. Not bit-for-bit resumable (network).
+        from ..sources.httpfetch import fetch_http, fetched_as_pages
+
+        page_hits = fetched_as_pages(fetch_http(scheduled))
+    else:
+        page_hits = pages_prepared.join(
             F.broadcast(scheduled.select("url_norm")), "url_norm", "left_semi"
         )
-        .select(
-            "url_norm",
-            F.length("html").cast("long").alias("bytes"),
-            extract_all_udf("html", "url_norm").alias("ex"),
-        )
+    parsed = page_hits.select(
+        "url_norm",
+        F.length("html").cast("long").alias("bytes"),
+        extract_all_udf("html", "url_norm").alias("ex"),
     )
     enriched = (
         scheduled.select("url_norm", "host", "depth")

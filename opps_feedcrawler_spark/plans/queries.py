@@ -1073,6 +1073,82 @@ def _doc_urls(spark, sf_dir) -> DataFrame:
 
 
 @_q(
+    "crawl_seed_ingest",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def crawl_seed_ingest(spark, sf_dir):
+    """A1 seed ingest through the REAL load_seeds reader (sources/io.py):
+    a seed text file is written carrying comment lines, blank lines,
+    surrounding whitespace and non-http schemes; the reader must keep
+    exactly the trimmed http(s) URLs. Input derived only from the
+    documents table (no external data)."""
+    import os
+    import tempfile
+
+    from ..sources.io import load_seeds
+
+    rows = (
+        _doc_urls(spark, sf_dir).select("doc_id", "url").orderBy("doc_id").collect()
+    )
+    base = tempfile.mkdtemp(prefix="ofs-seed-q-")
+    path = os.path.join(base, "seeds.txt")
+    with open(path, "w") as fh:
+        fh.write("# seed list derived from documents\n\n")
+        for r in rows:
+            if r.doc_id % 7 == 0:
+                # non-http scheme — must be dropped by the reader
+                fh.write("ftp://" + r.url[len("http://"):] + "\n")
+            else:
+                fh.write(f"  {r.url}  \n")
+            if r.doc_id % 13 == 0:
+                fh.write("\n")
+    return load_seeds(spark, path)
+
+
+@_q("crawl_recrawl_ttl")  # rows-only: cuckoo filter state is engine-internal
+def crawl_recrawl_ttl(spark, sf_dir):
+    """TTL recrawl through recrawl_expire (operators/cuckoo.py): build the
+    seen set + cuckoo filter over the documents-as-pages urls, expire every
+    4th (plus never-crawled candidates that the deletion precondition must
+    ignore), and return per-host counts of URLs the standard bloom/anti-join
+    path would now re-schedule. Exercises deletable-filter maintenance —
+    the capability the bloom half cannot offer."""
+    from ..functions.urlnorm import with_url_cols
+    from ..operators.cuckoo import (
+        build_seen_cuckoo,
+        probe_seen_cuckoo,
+        recrawl_expire,
+    )
+    from ..operators.seen import exact_new_urls
+
+    d = with_url_cols(_doc_urls(spark, sf_dir), "url").select(
+        "doc_id", "url_norm", "host", "url_hash"
+    )
+    seen = d.select("url_norm", "url_hash")
+    ck = build_seen_cuckoo(seen)
+    expired = d.filter(F.col("doc_id") % 4 == 0).select(
+        "url_norm", "url_hash"
+    ).unionByName(
+        d.filter(F.col("doc_id") % 4 == 1)
+        .select(
+            F.concat(F.col("url_norm"), F.lit("/never-crawled")).alias("url_norm"),
+            F.xxhash64(F.col("url_norm")).alias("url_hash"),
+        )
+    )
+    new_seen, new_ck = recrawl_expire(seen, ck, expired)
+    frontier = d.select("url_norm", "url_hash", "host")
+    maybe_new = probe_seen_cuckoo(frontier, new_ck).filter(~F.col("maybe_seen"))
+    reschedulable = exact_new_urls(
+        maybe_new.select("url_norm", "url_hash", "host"), new_seen
+    )
+    return reschedulable.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_reschedulable")
+    )
+
+
+@_q(
     "crawl_canonicalize",
     f"""
     SELECT doc_id,
@@ -1866,3 +1942,83 @@ def multimodal_image_meta(spark, sf_dir):
         "url", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
     return image_metadata(d, "url", "blob").drop("sample_hash")
+
+
+# =========================================================================
+# Registration-order curation. The driver samples queries() in dict order
+# (round 1 recorded CORRECTNESS rows for exactly the first 50 entries), so
+# the entries with the least prior driver evidence — the crawl-extraction
+# plane, feeds API, the dedup/ANN family, UDF-surface completions,
+# streaming and multimodal — are moved to the FRONT, and redundant
+# already-evidenced window/string/math variants to the back. Pure
+# reordering: every entry keeps its implementation and oracle.
+# =========================================================================
+
+_FRONT_ORDER = [
+    # round-1 driver-unchecked entries first (VERDICT.md "Next round" #1)
+    "crawl_seed_ingest",
+    "crawl_robots_filter",
+    "crawl_rss_entries",
+    "crawl_link_extract",
+    "feeds_process_capped",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "iter_udf_token_count",
+    "udtf_split_sentences",
+    "pivot_priority_status",
+    "scalar_subquery_above_avg",
+    "streaming_watermark_dedup",
+    "multimodal_image_meta",
+    "crawl_recrawl_ttl",
+    # crawl plane + pipeline entries already green in round 1
+    "crawl_canonicalize",
+    "crawl_host_extract",
+    "crawl_politeness_topk",
+    "crawl_frontier_antijoin",
+    "crawl_seen_bloom",
+    "crawl_seen_cuckoo",
+    "crawl_extract_text",
+    "crawl_fetch_join",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    # one representative per relational operator class (B1-B29, B36)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "broadcast_dim_join",
+    "outer_join_order_counts",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "theta_band_join",
+    "asof_purchase_prev_click",
+    "distinct_agg_segments",
+    "approx_distinct_parts",
+    "rollup_region_nation",
+    "window_rank_orders",
+    "global_topk_orders",
+    "json_events",
+    "session_window_events",
+    "udaf_weighted_price",
+]
+
+
+def _apply_registration_order() -> None:
+    missing = [n for n in _FRONT_ORDER if n not in QUERIES]
+    assert not missing, f"front-order names not registered: {missing}"
+    order = _FRONT_ORDER + [n for n in QUERIES if n not in _FRONT_ORDER]
+    for d in (QUERIES, ORACLE_SQL):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
+_apply_registration_order()

@@ -1,0 +1,121 @@
+"""Real-network fetch stage (A11's production half — SURVEY.md §2 A11).
+
+The sandbox engine resolves "fetch" as a broadcast-semi join against the
+prepared pages corpus (plans/crawl.py R6) because this environment has no
+network. On a real deploy the SAME round dataflow swaps that single stage
+for this module: a ``mapInPandas`` HTTP fetcher — whole-partition Arrow
+streaming, one connection pool per partition, bounded in-flight batches —
+producing the identical (url_norm, status, bytes, html) shape the fused
+parse stage consumes. Nothing else in the round changes; `fetch_mode`
+("corpus" | "http") on plans.crawl.crawl_round picks the stage.
+
+Scale notes:
+- Politeness is enforced UPSTREAM by the scheduler (salted per-host
+  budgets, A9); this stage adds only a per-host floor delay WITHIN a
+  partition as defense in depth. Because the schedule is repartitioned by
+  (host, salt) before fetching, one host's URLs land in few partitions and
+  per-connection keep-alive actually helps.
+- stdlib-only (urllib.request with a shared opener per partition): the
+  container has no requests/aiohttp; the pool-per-partition pattern is the
+  same with any client. Timeouts and max_bytes keep a slow/huge endpoint
+  from wedging a task.
+- Determinism: a network fetch is inherently non-reproducible, so this
+  stage is NOT part of the bit-for-bit resume contract; snapshots make the
+  round reproducible from the fetched bytes onward (the fetch_log records
+  what was actually fetched).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_SCHEMA = "url_norm string, status int, bytes long, html binary"
+
+DEFAULT_TIMEOUT_S = 10.0
+DEFAULT_MAX_BYTES = 4 * 1024 * 1024  # cap a single body at 4 MiB
+DEFAULT_HOST_DELAY_S = 0.0  # politeness floor within a partition
+USER_AGENT = "opps-feedcrawler-spark/2.0 (+crawler)"
+
+
+def _fetch_one(opener, url: str, timeout_s: float, max_bytes: int):
+    """(status, body bytes) for one URL; errors map to conventional
+    status codes (0 = transport error) and empty bodies — the round's
+    fetch_log/miss accounting handles them like corpus misses."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
+    try:
+        with opener.open(req, timeout=timeout_s) as resp:
+            body = resp.read(max_bytes + 1)
+            if len(body) > max_bytes:
+                body = body[:max_bytes]
+            return int(getattr(resp, "status", 200) or 200), body
+    except urllib.error.HTTPError as e:  # non-2xx with a real status
+        return int(e.code), b""
+    except Exception:  # DNS, refused, timeout, TLS — transport failure
+        return 0, b""
+
+
+def fetch_http(
+    scheduled: DataFrame,
+    url_col: str = "url_norm",
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    host_delay_s: float = DEFAULT_HOST_DELAY_S,
+) -> DataFrame:
+    """scheduled(url_norm, host, ...) → (url_norm, status, bytes, html).
+
+    One ``mapInPandas`` stage: the opener (connection pool) is built once
+    per partition and streams every Arrow batch through it; html bytes are
+    born executor-side and never shuffled (the caller's fused parse runs in
+    the next narrow stage, mirroring the corpus-join plan shape)."""
+    cols = [url_col] + (["host"] if "host" in scheduled.columns else [])
+    src = scheduled.select(*cols)
+
+    def _run(batches: Iterator) -> Iterator:
+        import time
+        import urllib.request
+
+        import pandas as pd
+
+        opener = urllib.request.build_opener()  # per-partition pool
+        last_hit: dict[str, float] = {}
+        for pdf in batches:
+            urls = pdf[url_col]
+            hosts = pdf["host"] if "host" in pdf.columns else urls
+            statuses, sizes, bodies = [], [], []
+            for url, host in zip(urls, hosts):
+                if host_delay_s > 0:
+                    prev = last_hit.get(host)
+                    now = time.monotonic()
+                    if prev is not None and now - prev < host_delay_s:
+                        time.sleep(host_delay_s - (now - prev))
+                    last_hit[host] = time.monotonic()
+                status, body = _fetch_one(opener, url, timeout_s, max_bytes)
+                statuses.append(status)
+                sizes.append(len(body))
+                bodies.append(body if body else None)
+            yield pd.DataFrame(
+                {
+                    "url_norm": urls.to_numpy(),
+                    "status": pd.array(statuses, dtype="int32"),
+                    "bytes": pd.array(sizes, dtype="int64"),
+                    "html": pd.Series(bodies, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(_run, FETCH_SCHEMA)
+
+
+def fetched_as_pages(fetched: DataFrame) -> DataFrame:
+    """Adapt fetch_http output to the (url_norm, html) shape the fused
+    parse stage consumes — only successful 2xx bodies become pages."""
+    return (
+        fetched.filter((F.col("status") >= 200) & (F.col("status") < 300))
+        .filter(F.col("html").isNotNull())
+        .select("url_norm", "html")
+    )

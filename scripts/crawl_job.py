@@ -54,9 +54,13 @@ def main() -> None:
         spark, pages, seeds, robots, args.warehouse,
         rounds=args.rounds, pages_prepared=args.prepared,
     )
+    # --rounds 0 (or a fresh warehouse where no round committed) is a
+    # legitimate no-op run: report the empty state instead of crashing on
+    # read_snapshot(None).
+    last = log.latest_snapshot_id()
     summary = {
         "snapshots": log.snapshot_ids(),
-        "metrics_last": log.read_snapshot(log.latest_snapshot_id())["metrics"],
+        "metrics_last": None if last is None else log.read_snapshot(last)["metrics"],
     }
     print("CRAWL_JOB_RESULT " + json.dumps(summary, sort_keys=True))
 

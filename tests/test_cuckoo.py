@@ -81,3 +81,55 @@ def test_spark_build_probe_delete(spark):
         .count()
     )
     assert missed == 0
+
+
+def test_recrawl_expire_unsees_and_reschedules(spark):
+    """TTL recrawl (the capability that motivates the cuckoo variant):
+    expiring a URL removes it from BOTH the exact seen table and the
+    cuckoo filter, so the standard pre-filter + anti-join path schedules
+    it again; never-crawled expiry candidates are ignored (the deletion
+    precondition), and unexpired URLs keep the no-false-negative
+    guarantee."""
+    from opps_feedcrawler_spark.operators.cuckoo import (
+        build_seen_cuckoo,
+        probe_seen_cuckoo,
+        recrawl_expire,
+    )
+
+    urls = [(f"http://h{i % 9}.example/p/{i}", i * 2654435761 % (1 << 62)) for i in range(400)]
+    seen = spark.createDataFrame(urls, "url_norm string, url_hash long")
+    ck = build_seen_cuckoo(seen)
+
+    # expire every 4th crawled URL + 50 never-crawled candidates (+ dups)
+    expired_real = [u for i, u in enumerate(urls) if i % 4 == 0]
+    expired_bogus = [
+        (f"http://never{i}.example/x", (10_000 + i) * 2654435761 % (1 << 62))
+        for i in range(50)
+    ]
+    expired = spark.createDataFrame(
+        expired_real + expired_real[:10] + expired_bogus,
+        "url_norm string, url_hash long",
+    )
+    new_seen, new_ck = recrawl_expire(seen, ck, expired)
+
+    # exact membership truth: expired gone, rest intact
+    kept = {r.url_norm for r in new_seen.collect()}
+    assert kept == {u for u, _ in urls} - {u for u, _ in expired_real}
+
+    # pre-filter: expired keys now probe mostly-false (fp noise only),
+    # unexpired keys still NEVER probe false
+    exp_df = spark.createDataFrame(expired_real, "url_norm string, url_hash long")
+    still = probe_seen_cuckoo(exp_df, new_ck).filter(F.col("maybe_seen")).count()
+    assert still / len(expired_real) < 0.05, still
+    kept_df = new_seen
+    missed = probe_seen_cuckoo(kept_df, new_ck).filter(~F.col("maybe_seen")).count()
+    assert missed == 0
+
+    # end-to-end: the frontier anti-join now lets expired URLs through
+    from opps_feedcrawler_spark.operators.seen import exact_new_urls
+
+    frontier = spark.createDataFrame(
+        expired_real + urls[1:8], "url_norm string, url_hash long"
+    )
+    passed = {r.url_norm for r in exact_new_urls(frontier, new_seen).collect()}
+    assert passed == {u for u, _ in expired_real}
