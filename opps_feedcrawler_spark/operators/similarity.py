@@ -76,6 +76,56 @@ def ann_bruteforce_topk(
     )
 
 
+_KMEANS_SEED = 20240517
+KMEANS_SAMPLE = 4096
+KMEANS_ITERS = 10
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = KMEANS_SAMPLE,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Spherical k-means centroids for the IVF coarse quantizer,
+    deterministic end to end: the training sample is the `sample_size`
+    vectors with the lowest xxhash64(id) (a seedless, order-independent
+    pseudo-random draw), Lloyd runs driver-side in numpy (sample is tiny —
+    at 100 TB you still train the coarse quantizer on a bounded sample;
+    assignment of the full corpus stays distributed in ann_ivf_topk), and
+    init is seeded. Empty clusters keep their previous centroid. Output:
+    (cell int, cv array<double>) with unit-norm centroids."""
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("long")).asc(), F.col("id").asc())
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([list(r.v) for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    n_cells = min(n_cells, len(mat))
+    rng = np.random.RandomState(_KMEANS_SEED)
+    cents = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(iters):
+        sims = mat @ cents.T  # (n, k) cosine (all unit-norm)
+        assign = sims.argmax(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cents[c] = m / nrm
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(n_cells)],
+        "cell int, cv array<double>",
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -84,11 +134,13 @@ def ann_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style coarse-quantized ANN: the scale path for big corpora.
 
-    1. Centroids = the n_cells lowest-id corpus vectors (deterministic; a
-       real deploy plugs in k-means centroids — only this stage changes).
+    1. Centroids = seeded spherical k-means over a bounded hash-drawn
+       sample (kmeans_centroids above); callers may pass precomputed
+       `centroids` (cell, cv) to amortize training across queries.
     2. Assign every corpus vector to its nearest centroid (broadcast the
        centroids, exact cosine, rank-1) — the "inverted file" cell id.
     3. Queries probe their n_probe nearest cells; candidates are only the
@@ -99,9 +151,9 @@ def ann_ivf_topk(
     any corpus size. Same output schema as the brute-force baseline so
     recall is directly measurable (tests assert recall@k)."""
     cents = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, n_cells, id_col, vec_col)
     )
 
     def nearest_cells(side: DataFrame, out_id: str, vout: str, n: int) -> DataFrame:
