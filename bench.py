@@ -32,10 +32,21 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-BENCH_HOSTS = int(os.environ.get("OFS_BENCH_HOSTS", "20000"))
-BENCH_PAGES = int(os.environ.get("OFS_BENCH_PAGES", "400000"))
-BENCH_SEEDS = int(os.environ.get("OFS_BENCH_SEEDS", "60000"))
+# Default bench profile = the production-scale round profile (round-1
+# VERDICT: the driver-visible number must be the tuned one, not a
+# small-round config that measures per-round fixed cost). A 10^10-URL
+# crawl schedules millions of URLs per round; these budgets/pages
+# reproduce that work profile. The corpus is generated once and cached
+# under /tmp, so repeat bench runs skip generation + ingestion.
+BENCH_HOSTS = int(os.environ.get("OFS_BENCH_HOSTS", "100000"))
+BENCH_PAGES = int(os.environ.get("OFS_BENCH_PAGES", "1500000"))
+BENCH_SEEDS = int(os.environ.get("OFS_BENCH_SEEDS", "300000"))
 BENCH_ROUNDS = int(os.environ.get("OFS_BENCH_ROUNDS", "3"))
+# politeness budgets track the production profile too (shared with the
+# single-threaded oracle, so engine/oracle stay in lock-step); must be set
+# before opps_feedcrawler_spark.operators.politeness is imported
+os.environ.setdefault("OFS_BUDGET_BASE", "100")
+os.environ.setdefault("OFS_MAX_BUDGET", "500")
 # modest heap: see session.py — big heaps are kernel-bound on this microVM
 
 HEADLINE_QUERIES = [
@@ -227,19 +238,15 @@ def main() -> None:
         # fused parse over ~200k pages/round) must dominate the ~10s/round
         # fixed machinery or the ratio measures scheduler latency, not the
         # engine. Tunable via the OFS_SCALING_* envs.
+        # scaling runs share the default (production-profile) corpus and
+        # budgets; OFS_SCALING_* envs override per-point
         env = dict(
             os.environ,
-            OFS_BENCH_HOSTS=os.environ.get("OFS_SCALING_HOSTS", "100000"),
-            OFS_BENCH_PAGES=os.environ.get("OFS_SCALING_PAGES", "1500000"),
-            OFS_BENCH_SEEDS=os.environ.get("OFS_SCALING_SEEDS", "300000"),
-            # Production-scale rounds: a 10^10-URL crawl schedules millions
-            # of URLs per round, so per-round fixed latencies (driver
-            # commits, job scheduling) are noise there. Boosted budgets
-            # reproduce that work profile; tiny-round latency would
-            # otherwise dominate the ratio and measure the scheduler, not
-            # the engine.
-            OFS_BUDGET_BASE=os.environ.get("OFS_BUDGET_BASE", "100"),
-            OFS_MAX_BUDGET=os.environ.get("OFS_MAX_BUDGET", "500"),
+            OFS_BENCH_HOSTS=os.environ.get("OFS_SCALING_HOSTS", str(BENCH_HOSTS)),
+            OFS_BENCH_PAGES=os.environ.get("OFS_SCALING_PAGES", str(BENCH_PAGES)),
+            OFS_BENCH_SEEDS=os.environ.get("OFS_SCALING_SEEDS", str(BENCH_SEEDS)),
+            OFS_BUDGET_BASE=os.environ["OFS_BUDGET_BASE"],
+            OFS_MAX_BUDGET=os.environ["OFS_MAX_BUDGET"],
         )
 
         def measured_capacity(n_lo: int, n_hi: int, fn=_burn_cpu) -> float:
@@ -275,6 +282,11 @@ def main() -> None:
             runs.sort(key=lambda r: r["urls_per_sec"])
             results[cores] = runs[-1]
             spread[cores] = [r["urls_per_sec"] for r in runs]
+        import statistics
+
+        medians = {c: statistics.median(v) for c, v in spread.items()}
+        med_eff_2_8 = medians[8] / (4 * medians[2])
+        med_eff_8_32 = medians[32] / (4 * medians[8])
         cap_2_8 = measured_capacity(2, 8)
         cap_8_32 = measured_capacity(8, 32)
         bw_2_8 = measured_capacity(2, 8, _burn_mem)
@@ -290,6 +302,11 @@ def main() -> None:
                     "throughput_32": results[32]["urls_per_sec"],
                     "scaling_efficiency_2_to_8": round(eff_2_8, 3),
                     "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+                    "median_urls_per_sec": {
+                        c: round(v, 1) for c, v in medians.items()
+                    },
+                    "median_scaling_efficiency_2_to_8": round(med_eff_2_8, 3),
+                    "median_scaling_efficiency_8_to_32": round(med_eff_8_32, 3),
                     "hardware_capacity_ratio_2_to_8": round(cap_2_8, 2),
                     "hardware_capacity_ratio_8_to_32": round(cap_8_32, 2),
                     "hardware_bandwidth_ratio_2_to_8": round(bw_2_8, 2),
