@@ -63,7 +63,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_fingerprint",
-    "multimodal_image_meta",
+    "multimodal_image_meta_stubdecode",
     "crawl_politeness_topk",
     "crawl_rss_entries",
     "feeds_process_capped",

@@ -1920,7 +1920,7 @@ def streaming_watermark_dedup(spark, sf_dir):
 
 
 @_q(
-    "multimodal_image_meta",
+    "multimodal_image_meta_stubdecode",
     f"""
     SELECT {_DOC_URL_SQL} AS url,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -1973,7 +1973,7 @@ _FRONT_ORDER = [
     "pivot_priority_status",
     "scalar_subquery_above_avg",
     "streaming_watermark_dedup",
-    "multimodal_image_meta",
+    "multimodal_image_meta_stubdecode",
     "crawl_recrawl_ttl",
     # crawl plane + pipeline entries already green in round 1
     "crawl_canonicalize",
