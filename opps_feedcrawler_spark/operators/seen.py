@@ -151,8 +151,11 @@ def exact_new_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
 # Below this total bitset size the bloom is shipped to every task as a
 # broadcast variable and probed in ONE narrow Arrow-UDF stage (no shuffle).
 # Above it (e.g. the ~12 GiB table a 10^10-URL crawl needs) the cogrouped
-# shuffle path probe_seen_bloom() is the scale path.
-BROADCAST_BLOOM_MAX_BYTES = 2 << 30
+# shuffle path probe_seen_bloom() is the scale path. 256 MiB keeps the
+# driver collect + per-executor broadcast copy comfortably inside normal
+# executor memory (a 2 GiB driver-side collect was the round-1 review's
+# "generous" flag); larger filters should shard across the cluster anyway.
+BROADCAST_BLOOM_MAX_BYTES = 256 << 20
 
 
 def bloom_to_broadcast(spark, bloom: DataFrame):
