@@ -1,27 +1,47 @@
-"""robots.txt rule filtering (SURVEY.md §2 A10; RFC 9309 longest-match).
+"""robots.txt rule filtering (SURVEY.md §2 A10; RFC 9309 longest-match,
+incl. the `*` / `$` special characters of §2.2.3).
 
 Not present in the reference (feeds are opt-in sources [PK]); mandated by
 BASELINE.json:6,14 ("per-host politeness budgets and robots.txt rules").
 
 Matching semantics (pinned, shared with the oracle):
-- rules are (allow bool, prefix string) pairs per host;
-- the rule with the LONGEST matching prefix wins (RFC 9309 §2.2.2);
+- rules are (allow bool, pattern string) pairs per host, where the pattern
+  is an RFC 9309 path pattern: literal prefix, `*` matches any character
+  sequence, a FINAL `$` anchors end-of-path (elsewhere `$` is literal);
+- the matching rule with the MOST OCTETS in its pattern wins
+  (RFC 9309 §2.2.2 "most specific match");
 - on equal length, allow wins;
 - no matching rule / no rules / unknown host → allowed.
 
 The Spark implementation is FULLY native (JVM-side higher-order array
-functions — zero Python): matched rules become (len(prefix), allow) structs
-and array_max picks the lexicographic winner, which is exactly
-longest-prefix-then-allow. A robots.txt *parser* (text → rules) is provided
-for ingestion; at crawl time rules live in the structured robots table.
+functions — zero Python): matched rules become (len(pattern), allow)
+structs and array_max picks the lexicographic winner, which is exactly
+most-octets-then-allow. Wildcard-free patterns (the overwhelmingly common
+case in real robots files) match via `startswith`; only patterns carrying
+`*`/`$` pay the regexp path — both branches are codegen'd JVM expressions.
+A robots.txt *parser* (text → rules) is provided for ingestion; at crawl
+time rules live in the structured robots table.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .politeness import DEFAULT_CRAWL_DELAY
+
+
+def _pattern_matches(path: str, pattern: str) -> bool:
+    """RFC 9309 path-pattern match (pure Python; twin of the native
+    expression): '*' = any char sequence, final '$' = end anchor."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    if anchored:
+        rx += "$"
+    return re.match(rx, path) is not None
 
 
 def robots_allowed(path: str, rules: list | None) -> bool:
@@ -34,7 +54,7 @@ def robots_allowed(path: str, rules: list | None) -> bool:
         allow, prefix = (
             (r["allow"], r["prefix"]) if isinstance(r, dict) else (r.allow, r.prefix)
         )
-        if prefix is not None and path.startswith(prefix):
+        if prefix is not None and _pattern_matches(path, prefix):
             plen = len(prefix)
             if plen > best_len or (plen == best_len and allow):
                 best_len = plen
@@ -80,10 +100,23 @@ def with_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     drop the hint to fall back to a shuffle join beyond that.
     """
     path = F.regexp_replace(F.col("url_norm"), r"^https?://[^/]+", "")
-    matched = F.filter(
-        F.col("rules"),
-        lambda r: F.startswith(path, r["prefix"]),
-    )
+
+    def rule_matches(r):
+        p = r["prefix"]
+        # RFC 9309 §2.2.3 wildcard path: escape Java-regex metachars in the
+        # pattern, then re-open OUR specials — '*' (any sequence) anywhere,
+        # '$' (end anchor) only as the final octet — and anchor the start.
+        esc = F.regexp_replace(p, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
+        esc = F.regexp_replace(esc, r"\\\*", ".*")
+        esc = F.regexp_replace(esc, r"\\\$$", "\\$")
+        rx = F.concat(F.lit("^"), esc)
+        has_special = p.contains("*") | F.endswith(p, F.lit("$"))
+        # wildcard-free fast path: plain prefix compare, no regex engine
+        return F.when(has_special, F.regexp_like(path, rx)).otherwise(
+            F.startswith(path, p)
+        )
+
+    matched = F.filter(F.col("rules"), rule_matches)
     # (len, allow) struct; array_max = lexicographic max = longest prefix,
     # ties broken toward allow=true (false < true).
     verdict = F.array_max(

@@ -1685,6 +1685,42 @@ def crawl_robots_filter(spark, sf_dir):
 
 
 @_q(
+    "crawl_robots_wildcard",
+    f"""
+    SELECT doc_id, {_DOC_URL_SQL} AS url_norm,
+           CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%11' THEN true
+                WHEN CAST(doc_id AS VARCHAR) LIKE '%1' THEN false
+                WHEN CAST(doc_id AS VARCHAR) LIKE '2%' THEN false
+                ELSE true END AS allowed
+    FROM documents
+    """,
+)
+def crawl_robots_wildcard(spark, sf_dir):
+    """A10 with RFC 9309 §2.2.3 special characters through the native
+    operator: '*' any-sequence and final-'$' end anchor, most-octets
+    precedence — Disallow /doc/*1$ (ids ending in 1) is beaten by the
+    longer Allow /doc/*11$ (ids ending in 11); Disallow /doc/2* kills ids
+    starting with 2. Oracle is the algebraic CASE over doc_id digits."""
+    from ..operators.robots import with_robots
+
+    d = _doc_urls(spark, sf_dir)
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(1.0).alias("crawl_delay"),
+        F.array(
+            F.struct(F.lit(False).alias("allow"), F.lit("/doc/*1$").alias("prefix")),
+            F.struct(F.lit(True).alias("allow"), F.lit("/doc/*11$").alias("prefix")),
+            F.struct(F.lit(False).alias("allow"), F.lit("/doc/2*").alias("prefix")),
+        ).alias("rules"),
+    )
+    fr = d.select(
+        "doc_id", F.col("url").alias("url_norm"), F.col("source").alias("host")
+    )
+    return with_robots(fr, robots).select("doc_id", "url_norm", "allowed")
+
+
+@_q(
     "feeds_process_capped",
     f"""
     SELECT doc_id AS feed_id,
@@ -1958,6 +1994,7 @@ _FRONT_ORDER = [
     # round-1 driver-unchecked entries first (VERDICT.md "Next round" #1)
     "crawl_seed_ingest",
     "crawl_robots_filter",
+    "crawl_robots_wildcard",
     "crawl_rss_entries",
     "crawl_link_extract",
     "feeds_process_capped",
@@ -1989,11 +2026,12 @@ _FRONT_ORDER = [
     "text_lang_id",
     "text_fingerprint",
     "dedup_exact_docs",
-    # one representative per relational operator class (B1-B29, B36)
+    # one representative per relational operator class (B1-B29, B36);
+    # q10 (a third join-shape variant) yields its slot to the wildcard
+    # robots entry
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",
-    "q10_returned_items",
     "broadcast_dim_join",
     "outer_join_order_counts",
     "semi_join_active_customers",
