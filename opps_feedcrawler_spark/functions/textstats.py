@@ -72,3 +72,76 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized, lowercased
     text. Stable across engines (md5 over UTF-8 bytes)."""
     return F.md5(F.encode(F.lower(normalize_ws(text)), "UTF-8"))
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals per document (the filters a
+    large-scale LLM-pretraining pipeline applies before training — Rae et
+    al. 2021, "Scaling Language Models" §A1.1, public paper):
+
+      dup_word_frac   1 - |distinct words| / |words|   (word-level repeat
+                      mass; computed NARROW via array_distinct, no shuffle)
+      top_bigram_frac occurrences of the most frequent word bigram /
+                      total bigram occurrences (boilerplate/spam signal;
+                      one explode + two-level aggregation — the shuffle
+                      carries (doc, bigram) partial counts, map-combined)
+
+    Output: (id_col, n_words, dup_word_frac, top_bigram_frac); documents
+    with < 2 words get top_bigram_frac 0. Exactness: both fractions are
+    single divisions of exact integer counts, so the DuckDB oracle hashes
+    identically."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    words = F.split(F.lower(normalize_ws(F.col(text_col))), " ")
+    base = docs.select(
+        F.col(id_col),
+        words.alias("ws"),
+        F.size(words).alias("n_words"),
+    )
+    narrow = base.select(
+        id_col,
+        "ws",
+        "n_words",
+        (
+            1.0
+            - F.size(F.array_distinct(F.col("ws"))).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+    )
+    # sequence(1, 0) would DESCEND in Spark, so single-word docs must short
+    # to an empty array (explode then drops the row; the left join restores
+    # it with top_bigram_frac 0)
+    bigram_arr = F.when(
+        F.col("n_words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_words") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array())
+    bigrams = narrow.select(id_col, F.explode(bigram_arr).alias("bg"))
+    top = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.max("c").cast("double") / F.sum("c").cast("double")
+            ).alias("top_bigram_frac")
+        )
+    )
+    return (
+        narrow.drop("ws")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.round(F.col("dup_word_frac"), 9).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)), 9
+            ).alias("top_bigram_frac"),
+        )
+    )

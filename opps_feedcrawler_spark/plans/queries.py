@@ -1430,6 +1430,45 @@ def text_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "text_repetition_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+               AS ws
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE), 9) AS dup_word_frac,
+             ws
+      FROM w),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+      FROM base, UNNEST(range(1, n_words)) AS t(i)
+      WHERE n_words >= 2),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    top AS (
+      SELECT doc_id,
+             round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9)
+               AS top_bigram_frac
+      FROM cnt GROUP BY doc_id)
+    SELECT base.doc_id, n_words, dup_word_frac,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/textstats.py):
+    word-repeat mass (narrow, no shuffle) + top-bigram occupancy (one
+    explode + map-combined two-level agg) — the pre-training corpus
+    filters a 100 TB pipeline runs before anything else."""
+    from ..functions.textstats import repetition_stats
+
+    return repetition_stats(T(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_exact_docs",
     r"""
     SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
@@ -1955,6 +1994,49 @@ def streaming_watermark_dedup(spark, sf_dir):
     )
 
 
+@_q("streaming_stateful_host_rate")  # rows-only: streaming runtime, not SQL
+def streaming_stateful_host_rate(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/ingest.py): per-host cumulative fetch counts + min-gap
+    politeness violations with state carried across micro-batches
+    (maxFilesPerTrigger=1 over two source files forces a cross-batch
+    carry). Source derived from the events table; drained with
+    trigger(availableNow) so the run is deterministic."""
+    import tempfile
+
+    from ..streaming.ingest import run_available_now, stateful_host_rate
+
+    e = T(spark, sf_dir, "events")
+
+    def src(half: int):
+        return e.filter(F.col("event_id") % 2 == half).select(
+            F.concat(
+                F.lit("http://"), F.col("event_type"), F.lit(".example/u/"),
+                F.col("user_id").cast("string"),
+            ).alias("url"),
+            F.concat(F.col("event_type"), F.lit(".example")).alias("host"),
+            F.col("ts"),
+        )
+
+    base = tempfile.mkdtemp(prefix="ofs-stateful-q-")
+    src_dir, out_dir, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    src(0).coalesce(1).write.parquet(src_dir)
+    src(1).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("url string, host string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    run_available_now(stateful_host_rate(stream, min_gap_s=60.0), out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("host").orderBy(F.col("n_fetched").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "n_fetched", "n_violations")
+    )
+
+
 @_q(
     "multimodal_image_meta_stubdecode",
     f"""
@@ -2010,6 +2092,7 @@ _FRONT_ORDER = [
     "pivot_priority_status",
     "scalar_subquery_above_avg",
     "streaming_watermark_dedup",
+    "streaming_stateful_host_rate",
     "multimodal_image_meta_stubdecode",
     "crawl_recrawl_ttl",
     # crawl plane + pipeline entries already green in round 1
@@ -2025,13 +2108,13 @@ _FRONT_ORDER = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_repetition_stats",
     "dedup_exact_docs",
     # one representative per relational operator class (B1-B29, B36);
-    # q10 (a third join-shape variant) yields its slot to the wildcard
-    # robots entry
+    # q5/q10 (third and fourth join-shape variants) yield their slots to
+    # the wildcard-robots and repetition-stats entries
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q5_local_supplier_volume",
     "broadcast_dim_join",
     "outer_join_order_counts",
     "semi_join_active_customers",
@@ -2042,7 +2125,6 @@ _FRONT_ORDER = [
     "approx_distinct_parts",
     "rollup_region_nation",
     "window_rank_orders",
-    "global_topk_orders",
     "json_events",
     "session_window_events",
     "udaf_weighted_price",

@@ -47,3 +47,61 @@ def run_available_now(result: DataFrame, out_dir: str, checkpoint_dir: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_host_rate(
+    stream: DataFrame, min_gap_s: float = 1.0
+) -> DataFrame:
+    """Custom stateful streaming operator (B-surface: arbitrary state via
+    ``applyInPandasWithState``): per-host fetch-rate tracking with
+    politeness-violation detection. State per host = (total fetches,
+    violations, last fetch epoch); each micro-batch APPENDS a row with the
+    host's cumulative counts (append emission composes with file sinks;
+    the latest row per host is the current total). A "violation" is a fetch arriving < min_gap_s after
+    the previous one for the same host — the runtime self-audit of the
+    scheduler-side politeness guarantee (A9), maintained ACROSS batches
+    (the cross-batch gap is checked against the carried state, which
+    ``dropDuplicates``-style built-ins cannot express).
+
+    Arrow-batched: the per-batch gap scan is one numpy diff over the
+    host's sorted timestamps, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.exists:
+            total, violations, last_epoch = state.get
+        else:
+            total, violations, last_epoch = 0, 0, None
+        batch_parts = [pdf for pdf in pdfs]
+        if batch_parts:
+            ts = (
+                pd.concat(batch_parts)["ts"]
+                .sort_values()
+                .astype("int64")
+                .to_numpy()
+                / 1e9
+            )
+            prev = np.r_[(last_epoch if last_epoch is not None else -np.inf), ts]
+            gaps = np.diff(prev)
+            violations += int((gaps < min_gap_s).sum())
+            total += len(ts)
+            last_epoch = float(ts[-1])
+        state.update((total, violations, last_epoch))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "n_fetched": [total],
+                "n_violations": [violations],
+            }
+        )
+
+    return stream.groupBy("host").applyInPandasWithState(
+        track,
+        outputStructType="host string, n_fetched long, n_violations long",
+        stateStructType="total long, violations long, last_epoch double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
