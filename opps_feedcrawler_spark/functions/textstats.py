@@ -145,3 +145,59 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("top_bigram_frac"),
         )
     )
+
+
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via a BPE-style pre-tokenizer regex
+    (letter runs | digit runs | single non-alnum over the whitespace-
+    normalized text), the shape GPT-2-family tokenizers split on before
+    merges. Pure JVM regexp — the identical pattern runs in the DuckDB
+    oracle."""
+    return F.size(
+        F.regexp_extract_all(
+            normalize_ws(text), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+        )
+    )
+
+
+def rare_word_stats(docs, rare_max_count: int = 2, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-frequency quality signal (the LM-scoring dataflow shape with
+    EXACT arithmetic): build the corpus unigram frequency table once
+    (token-stream groupBy — map-side combined), join it back to each
+    document's token stream, and report per doc the fraction of tokens
+    whose corpus frequency ≤ rare_max_count (OOV/rare mass — high values
+    flag gibberish or mojibake; the quality filters of large pretraining
+    pipelines threshold on exactly this family of signals).
+
+    Exactness: counts are integers and the fraction is one division, so
+    the DuckDB oracle hashes identically — unlike avg-log-prob scoring,
+    which this deliberately replaces (fp summation order is not
+    reproducible across engines).
+
+    Output: (id_col, n_tokens, rare_frac). Scale: two shuffles — the
+    vocab aggregation and the doc re-aggregation; the vocab join is a
+    plain equi-join on the token, partitionable at any corpus size."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(normalize_ws(F.col(text_col))), " ")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cf") <= rare_max_count, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("rare_frac"),
+        )
+    )

@@ -1469,6 +1469,54 @@ def text_repetition_stats(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenizer count (functions/textstats.py): letter runs
+    | digit runs | single non-alnum — the sub-word split GPT-2-family
+    tokenizers apply before merges, the budget unit an LLM-data pipeline
+    actually meters. Identical regex in both engines."""
+    from ..functions.textstats import bpe_ish_token_count
+
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@_q(
+    "text_rare_word_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w.word
+      FROM documents,
+           UNNEST(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+             AS w(word)
+      WHERE length(w.word) > 0),
+    vocab AS (SELECT word, COUNT(*) AS cf FROM toks GROUP BY word)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS rare_frac
+    FROM toks JOIN vocab USING (word)
+    GROUP BY doc_id
+    """,
+)
+def text_rare_word_stats(spark, sf_dir):
+    """Corpus-frequency rare-token mass (functions/textstats.py): the
+    LM-score-shaped dataflow (vocab build → frequency join → per-doc agg)
+    with exact integer arithmetic so the oracle hashes identically."""
+    from ..functions.textstats import rare_word_stats
+
+    return rare_word_stats(T(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_exact_docs",
     r"""
     SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
@@ -2109,16 +2157,17 @@ _FRONT_ORDER = [
     "text_lang_id",
     "text_fingerprint",
     "text_repetition_stats",
+    "text_rare_word_stats",
     "dedup_exact_docs",
     # one representative per relational operator class (B1-B29, B36);
-    # q5/q10 (third and fourth join-shape variants) yield their slots to
-    # the wildcard-robots and repetition-stats entries
+    # q5/q10 (third and fourth join-shape variants) and anti_join (B8's
+    # anti is driver-checked via crawl_frontier_antijoin above) yield
+    # their slots to the new pipeline entries
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "broadcast_dim_join",
     "outer_join_order_counts",
     "semi_join_active_customers",
-    "anti_join_idle_customers",
     "theta_band_join",
     "asof_purchase_prev_click",
     "distinct_agg_segments",
