@@ -2085,6 +2085,35 @@ def streaming_stateful_host_rate(spark, sf_dir):
     )
 
 
+@_q("multimodal_feature_ann")  # rows-only: approximate retrieval pipeline
+def multimodal_feature_ann(spark, sf_dir):
+    """End-to-end multimodal similarity pipeline with a REAL feature
+    stage: blob → L2-normalized byte-histogram embedding
+    (functions/multimodal.byte_histogram_features — no codec libs needed)
+    → exact-cosine top-3 retrieval (operators/similarity.py). The planted
+    duplicates (same text bytes re-blobbed under query ids) must retrieve
+    their source with cos ≈ 1."""
+    from ..functions.multimodal import byte_histogram_features
+    from ..operators.similarity import ann_bruteforce_topk
+
+    d = _doc_urls(spark, sf_dir).select(
+        "doc_id", "url", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    feats = (
+        byte_histogram_features(d, "url", "blob")
+        .filter(F.col("n_bytes") > 0)  # zero vectors have no cosine
+        .join(d.select("doc_id", "url"), "url")
+    )
+    corpus = feats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    queries_side = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return ann_bruteforce_topk(queries_side, corpus.unionByName(queries_side), k=3)
+
+
 @_q(
     "multimodal_image_meta_stubdecode",
     f"""
@@ -2142,6 +2171,7 @@ _FRONT_ORDER = [
     "streaming_watermark_dedup",
     "streaming_stateful_host_rate",
     "multimodal_image_meta_stubdecode",
+    "multimodal_feature_ann",
     "crawl_recrawl_ttl",
     # crawl plane + pipeline entries already green in round 1
     "crawl_canonicalize",
@@ -2167,7 +2197,6 @@ _FRONT_ORDER = [
     "q3_top_revenue_orders",
     "broadcast_dim_join",
     "outer_join_order_counts",
-    "semi_join_active_customers",
     "theta_band_join",
     "asof_purchase_prev_click",
     "distinct_agg_segments",

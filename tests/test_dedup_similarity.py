@@ -207,3 +207,42 @@ def test_multimodal_audio_video_plumbing(spark):
         idxs = sorted(r.frame_idx for r in rs)
         assert idxs == list(range(len(rs)))
         assert all(r.frame_ms == r.frame_idx * 1000 for r in rs)
+
+
+def test_byte_histogram_features_real_and_retrieval(spark):
+    """byte_histogram_features is a REAL extractor (no stub): histogram
+    values verified against a pure-Python reference, and identical blobs
+    retrieve each other with cos == 1 through the ANN operators."""
+    import numpy as np
+
+    from opps_feedcrawler_spark.functions.multimodal import (
+        byte_histogram_features,
+    )
+
+    blobs = [("u0", b"aaaabbbb"), ("u1", bytes(range(256))), ("u2", b""), ("u3", b"aaaabbbb")]
+    df = spark.createDataFrame(blobs, "url string, blob binary")
+    rows = {r.url: r for r in byte_histogram_features(df).collect()}
+    for url, blob in blobs:
+        if blob:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+            want = (hist / np.linalg.norm(hist)).astype(np.float32)
+            got = np.asarray(rows[url].feature, dtype=np.float32)
+            assert np.allclose(got, want), url
+        else:
+            assert rows[url].feature == [0.0] * 16
+    assert rows["u1"].n_bytes == 256
+
+    # composition: identical blobs are mutual nearest neighbors at cos 1
+    feats = byte_histogram_features(df).filter(F.col("n_bytes") > 0)
+    corpus = feats.select(
+        F.xxhash64("url").alias("vec_id"), F.col("feature").alias("embedding"),
+        "url",
+    )
+    ids = {r.url: r.vec_id for r in corpus.collect()}
+    top = similarity.ann_bruteforce_topk(
+        corpus.filter(F.col("url") == "u0").drop("url"),
+        corpus.drop("url"),
+        k=1,
+    ).collect()[0]
+    assert top.neighbor_id == ids["u3"] and top.cos == 1.0
