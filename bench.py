@@ -63,7 +63,11 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_fingerprint",
+    "text_repetition_stats",
+    "text_rare_word_stats",
+    "crawl_robots_wildcard",
     "multimodal_image_meta_stubdecode",
+    "multimodal_feature_ann",
     "crawl_politeness_topk",
     "crawl_rss_entries",
     "feeds_process_capped",
