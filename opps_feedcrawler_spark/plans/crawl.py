@@ -21,9 +21,12 @@ URL-seen set and extracted text match exactly — BASELINE.json:6,14):
      global order seq by the same key
  R5  seen += scheduled ∪ disallowed
  R6  fetch = left join against the pages corpus on url_norm
-     (sandbox has no network — SURVEY.md A11; a real deploy swaps this
-     single stage for a mapInPandas HTTP fetcher with per-partition
-     connection pools, nothing else changes)
+     (sandbox has no network — SURVEY.md A11). Three interchangeable
+     fetch_mode stages, nothing else changes: "corpus" broadcast-semi
+     (default), "bucketed" co-located semi against a url_norm-bucketed
+     warehouse table (schedules too large to broadcast — zero blob
+     exchange, see prepare_pages_bucketed), "http" mapInPandas fetcher
+     with per-partition connection pools (sources/httpfetch.py)
  R7  extract: ONE fused parse (A12+A13+A14) — text, links, entries
  R8  new candidates = canonicalize(links), depth=parent+1, dedup by
      url_norm keeping MIN depth, anti-join seen (bloom pre-filtered)
@@ -128,6 +131,45 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def prepare_pages_bucketed(
+    spark: SparkSession,
+    pages_prepared: DataFrame,
+    table: str = "ofs_pages_bucketed",
+    buckets: int = 64,
+) -> DataFrame:
+    """Persist the prepared corpus as a url_norm-BUCKETED, bucket-sorted
+    warehouse table — the documented swap for when a round's schedule
+    outgrows the broadcast threshold (crawl_round R6 note): with the
+    corpus bucketed by the join key, the per-round fetch join needs NO
+    exchange on the blob side at any schedule size; only the (narrow)
+    schedule shuffles into the bucket layout (plan-asserted in
+    tests/test_plans.py). One file per bucket (repartition by the bucket
+    key first); the remaining corpus-side sort is bucket-LOCAL, and can
+    be elided too via spark.sql.legacy.bucketedTableScan.outputOrdering
+    (off by default since Spark 3.0).
+
+    This runs ONCE per corpus, like prepare_pages itself; crawl sessions
+    then pass ``spark.table(table)`` with ``fetch_mode="bucketed"``."""
+    # a torn previous write can leave the managed location behind while
+    # the table is unregistered; drop both so overwrite is idempotent
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil as _sh
+
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    _sh.rmtree(
+        f"{loc.removeprefix('file:')}/{table}", ignore_errors=True
+    )
+    (
+        pages_prepared.repartition(buckets, "url_norm")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "url_norm")
+        .sortBy("url_norm")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     f = with_url_cols(seeds, "url").select("url_norm", "host", "url_hash", "salt")
     return (
@@ -212,6 +254,17 @@ def crawl_round(
         from ..sources.httpfetch import fetch_http, fetched_as_pages
 
         page_hits = fetched_as_pages(fetch_http(scheduled))
+    elif fetch_mode == "bucketed":
+        # Corpus is a url_norm-bucketed warehouse table
+        # (prepare_pages_bucketed): the semi join co-locates on the
+        # bucket layout — zero exchange AND zero sort on the blob side
+        # regardless of schedule size (the MERGE hint keeps AQE from
+        # "helpfully" broadcasting the schedule, which would hide the
+        # shape this mode exists to prove). This is the swap for rounds
+        # whose schedule outgrows the broadcast threshold.
+        page_hits = pages_prepared.join(
+            scheduled.select("url_norm").hint("merge"), "url_norm", "left_semi"
+        )
     else:
         page_hits = pages_prepared.join(
             F.broadcast(scheduled.select("url_norm")), "url_norm", "left_semi"

@@ -187,3 +187,66 @@ def test_global_sequence_no_single_task_data_sort(spark):
     # no row_number window over the full schedule without partition keys:
     assert not re.search(r"Window \[row_number\(\)[^\n]*\]\s*$", plan, re.M)
     out.ofs_unpersist()
+
+
+def test_bucketed_fetch_join_no_blob_exchange(spark, tmp_path):
+    """fetch_mode='bucketed': with the corpus persisted as a
+    url_norm-bucketed table, the per-round fetch semi-join must have NO
+    Exchange on the blob side (only the narrow schedule shuffles into the
+    bucket layout; the remaining corpus-side sort is bucket-local) — the
+    documented swap for schedules too large to broadcast. Results must
+    equal the broadcast path."""
+    from opps_feedcrawler_spark.plans.crawl import (
+        crawl_round,
+        prepare_pages,
+        prepare_pages_bucketed,
+        seeds_to_frontier,
+    )
+    from opps_feedcrawler_spark.sources.synth import gen_corpus
+
+    pages, seeds, robots_rows = gen_corpus(
+        n_hosts=8, n_pages=120, n_seeds=30, seed=5
+    )
+    P = prepare_pages(spark.createDataFrame(pages))
+    bucketed = prepare_pages_bucketed(
+        spark, P, table="ofs_pages_bucketed_test", buckets=8
+    )
+    S = spark.createDataFrame(seeds)
+    R = spark.createDataFrame(
+        robots_rows,
+        schema="host string, crawl_delay double, "
+        "rules array<struct<allow:boolean,prefix:string>>",
+    )
+    frontier = seeds_to_frontier(S)
+    seen = spark.createDataFrame([], "url_norm string, url_hash long")
+
+    # plan-shape assertion on the fetch semi-join itself (the exact
+    # expression crawl_round builds in bucketed mode), executed so AQE
+    # finalizes: sort-merge, ONE exchange (schedule side only), ONE sort
+    join = bucketed.join(
+        frontier.select("url_norm").hint("merge"), "url_norm", "left_semi"
+    )
+    join.count()
+    plan = join._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning(url_norm") == 1, plan[:3000]
+    assert "Bucketed: true" in plan, plan[:3000]
+    # the corpus-side Sort is bucket-LOCAL (no exchange feeds it); eliding
+    # it needs spark.sql.legacy.bucketedTableScan.outputOrdering=true
+    # (off by default since Spark 3.0) — the scale-critical property is
+    # that the blob rows never cross the network, asserted above
+
+    # end-to-end equality vs the broadcast path
+    out_b = crawl_round(
+        spark, frontier, seen, None, bucketed, R, 0, fetch_mode="bucketed"
+    )
+    out_c = crawl_round(spark, frontier, seen, None, P, R, 0)
+    got_b = sorted(
+        (r.url_norm, r.status, r.bytes) for r in out_b["fetch_log"].collect()
+    )
+    got_c = sorted(
+        (r.url_norm, r.status, r.bytes) for r in out_c["fetch_log"].collect()
+    )
+    assert got_b == got_c
+    out_b["cleanup"](), out_c["cleanup"]()
+    spark.sql("DROP TABLE IF EXISTS ofs_pages_bucketed_test")
