@@ -103,6 +103,61 @@ class SnapshotLog:
         os.rename(tmp, final)  # the commit point
         return snapshot_id
 
+    # -- seen-delta compaction ----------------------------------------------
+    #
+    # The cumulative URL-seen set is stored as per-round DELTA files
+    # (plans/crawl.py); load_seen() unions them. At 10^10 URLs a crawl runs
+    # thousands of rounds, so the per-read file-set grows unboundedly —
+    # compaction folds rounds 0..k into ONE base table so reads become
+    # base + deltas-after-k. Same commit discipline as snapshots: data
+    # first, marker JSON atomically renamed LAST; a crash mid-compaction
+    # leaves no marker and readers keep using raw deltas. Contents are
+    # bit-equivalent (deltas are disjoint by construction, so the base is
+    # exactly their union) — resume and oracle equality are unaffected,
+    # which tests/test_resume.py asserts end-to-end.
+
+    def compact_seen(
+        self, spark: SparkSession, upto_round: int, partitions: int = 64
+    ) -> dict:
+        """Fold seen deltas of rounds 0..upto_round into one base table,
+        hash-partitioned by url_norm (so the per-round anti-join reads a
+        well-bucketed layout). Idempotent per upto_round. Old delta files
+        are retained for time travel to rounds < upto_round; a deployment
+        that expires old snapshots can vacuum them with the snapshots."""
+        paths = [
+            self.read_snapshot(r)["tables"]["seen_delta"]["path"]
+            for r in range(upto_round + 1)
+        ]
+        out = os.path.join(self.data_dir, f"seen_base={upto_round}")
+        (
+            spark.read.parquet(*paths)
+            .repartition(partitions, "url_norm")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        doc = {"upto": upto_round, "path": out}
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.snap_dir, f"base-{upto_round:08d}.json")
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # the commit point
+        return doc
+
+    def latest_seen_base(self, max_round: int) -> dict | None:
+        """Newest committed base with upto ≤ max_round, else None."""
+        best = None
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("base-") and fn.endswith(".json"):
+                upto = int(fn[len("base-") : -len(".json")])
+                if upto <= max_round and (best is None or upto > best):
+                    best = upto
+        if best is None:
+            return None
+        with open(os.path.join(self.snap_dir, f"base-{best:08d}.json")) as f:
+            return json.load(f)
+
     # -- read path ----------------------------------------------------------
 
     def snapshot_ids(self) -> list[int]:

@@ -423,11 +423,17 @@ ROUND_TABLES = ("frontier", "seen_delta", "bloom", "schedule", "fetch_log", "tex
 
 
 def load_seen(spark: SparkSession, log: SnapshotLog, round_no: int) -> DataFrame:
-    """Cumulative seen set as of round_no = union of all per-round delta
-    files (metadata-only: one multi-path Parquet read, no shuffle)."""
-    paths = [
+    """Cumulative seen set as of round_no = newest compacted base (≤
+    round_no, if any — SnapshotLog.compact_seen) plus the per-round delta
+    files after it (metadata-only: one multi-path Parquet read, no
+    shuffle). Row multiset is identical with or without a base (deltas
+    are disjoint), so every consumer — anti-joins, bloom probes, resume —
+    is unaffected by when compaction runs."""
+    base = log.latest_seen_base(round_no)
+    start = base["upto"] + 1 if base else 0
+    paths = ([base["path"]] if base else []) + [
         log.read_snapshot(r)["tables"]["seen_delta"]["path"]
-        for r in range(round_no + 1)
+        for r in range(start, round_no + 1)
     ]
     return spark.read.parquet(*paths)
 

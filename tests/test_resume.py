@@ -57,3 +57,51 @@ def test_torn_snapshot_invisible(spark, corpus_dfs, tmp_path):
     assert log.latest_snapshot_id() == 1  # torn round invisible
     log2 = run_crawl(spark, pages, seeds, robots, wh, rounds=3)
     assert log2.latest_snapshot_id() == 2  # resumed cleanly over the wreckage
+
+
+def test_seen_compaction_is_transparent(spark, corpus_dfs, tmp_path):
+    """compact_seen folds deltas 0..k into a base; a crawl that resumes
+    AFTER compaction must produce tables value-identical to an
+    uncompacted run, load_seen must return the identical row set, and the
+    read path must stop touching the compacted deltas' file list."""
+    from opps_feedcrawler_spark.plans.crawl import load_seen
+
+    pages, seeds, robots = corpus_dfs
+    wh_a = str(tmp_path / "a")
+    wh_b = str(tmp_path / "b")
+    log_a = run_crawl(spark, pages, seeds, robots, wh_a, rounds=ROUNDS)
+
+    log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=2)
+    base = log_b.compact_seen(spark, upto_round=1, partitions=4)
+    assert base["upto"] == 1
+    # compacted base == union of deltas 0..1, exactly
+    base_rows = sorted(
+        map(repr, ((r.url_norm, r.url_hash) for r in
+                   spark.read.parquet(base["path"]).collect()))
+    )
+    delta_rows = sorted(
+        map(repr, ((r.url_norm, r.url_hash) for r in
+                   spark.read.parquet(
+                       log_b.read_snapshot(0)["tables"]["seen_delta"]["path"],
+                       log_b.read_snapshot(1)["tables"]["seen_delta"]["path"],
+                   ).collect()))
+    )
+    assert base_rows == delta_rows
+
+    log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=ROUNDS)
+    from opps_feedcrawler_spark.plans.crawl import ROUND_TABLES
+
+    for r in log_a.snapshot_ids():
+        for name in ROUND_TABLES:
+            assert _table_fingerprint(spark, log_a, r, name) == \
+                _table_fingerprint(spark, log_b, r, name), (r, name)
+
+    # the post-compaction read path uses base + later deltas only
+    seen_b = load_seen(spark, log_b, ROUNDS - 1)
+    seen_a = load_seen(spark, log_a, ROUNDS - 1)
+    sa = sorted(map(repr, ((r.url_norm, r.url_hash) for r in seen_a.collect())))
+    sb = sorted(map(repr, ((r.url_norm, r.url_hash) for r in seen_b.collect())))
+    assert sa == sb
+    files = seen_b.inputFiles()
+    assert any("seen_base=1" in f for f in files)
+    assert not any("round=0/seen_delta" in f or "round=1/seen_delta" in f for f in files)
