@@ -158,6 +158,51 @@ class SnapshotLog:
         with open(os.path.join(self.snap_dir, f"base-{best:08d}.json")) as f:
             return json.load(f)
 
+    # Engine-STATE tables are superseded every round (the next snapshot
+    # carries the whole frontier/bloom/cumulative seen view); PRODUCT
+    # tables are the crawl's output and must never be vacuumed.
+    ENGINE_STATE_TABLES = ("frontier", "bloom", "schedule")
+
+    def vacuum_engine_state(self, keep_last: int = 1) -> list[int]:
+        """Delete superseded engine-state table data (frontier/bloom/
+        schedule) for all but the newest `keep_last` snapshots — the
+        frontier and bloom are the largest per-round rewrites, so without
+        vacuuming a long crawl's warehouse grows O(rounds × frontier).
+        Product tables (text/entries/fetch_log) and seen deltas are never
+        touched (deltas feed load_seen until compacted; product is the
+        point of the crawl). Each vacuumed snapshot's JSON is atomically
+        rewritten with the pruned tables recorded under "expired_tables",
+        so time travel fails loudly (KeyError) rather than reading
+        half-deleted data. Resume only ever reads the LATEST snapshot's
+        state, so vacuuming older rounds is resume-transparent
+        (tests/test_resume.py). Returns the vacuumed snapshot ids."""
+        import shutil
+
+        ids = self.snapshot_ids()
+        vacuumed = []
+        for sid in ids[: max(0, len(ids) - keep_last)]:
+            snap = self.read_snapshot(sid)
+            pruned = [
+                t for t in self.ENGINE_STATE_TABLES if t in snap["tables"]
+            ]
+            if not pruned:
+                continue
+            for t in pruned:
+                shutil.rmtree(snap["tables"][t]["path"], ignore_errors=True)
+                del snap["tables"][t]
+            snap["expired_tables"] = sorted(
+                set(snap.get("expired_tables", [])) | set(pruned)
+            )
+            tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+            final = os.path.join(self.snap_dir, f"snap-{sid:08d}.json")
+            with open(tmp, "w") as f:
+                json.dump(snap, f, indent=1, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, final)
+            vacuumed.append(sid)
+        return vacuumed
+
     # -- read path ----------------------------------------------------------
 
     def snapshot_ids(self) -> list[int]:

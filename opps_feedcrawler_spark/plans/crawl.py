@@ -446,6 +446,7 @@ def run_crawl(
     warehouse: str,
     rounds: int,
     pages_prepared: bool = False,
+    compact_seen_every: int | None = None,
 ) -> SnapshotLog:
     """Run (or resume) the crawl for `rounds` total rounds, one snapshot per
     round. Resume (A17): pass the same warehouse — the loop continues after
@@ -454,7 +455,12 @@ def run_crawl(
 
     pages_prepared=True means `pages` is already the prepare_pages() output
     (url_norm, html) — the production shape, where corpus ingestion ran once
-    in a separate job and crawl sessions never re-normalize the corpus."""
+    in a separate job and crawl sessions never re-normalize the corpus.
+
+    compact_seen_every=k folds the seen deltas into a base every k rounds
+    (SnapshotLog.compact_seen) so long crawls keep a bounded read
+    file-set; compaction is bit-transparent to every consumer, so any k
+    (or none) yields identical crawl output."""
     from concurrent.futures import ThreadPoolExecutor
 
     log = SnapshotLog(warehouse)
@@ -529,6 +535,12 @@ def run_crawl(
             manifests["fetch_log"]["path"], "status", 200
         )
         log.commit(round_no, manifests, m)
+        if (
+            compact_seen_every
+            and round_no > 0
+            and (round_no + 1) % compact_seen_every == 0
+        ):
+            log.compact_seen(spark, round_no)
         # Next round reads from the committed snapshot (the materialization
         # barrier that makes every round a pure function of the previous
         # snapshot — no recomputation drift, no lineage blowup).

@@ -105,3 +105,52 @@ def test_seen_compaction_is_transparent(spark, corpus_dfs, tmp_path):
     files = seen_b.inputFiles()
     assert any("seen_base=1" in f for f in files)
     assert not any("round=0/seen_delta" in f or "round=1/seen_delta" in f for f in files)
+
+
+def test_vacuum_engine_state_resume_transparent(spark, corpus_dfs, tmp_path):
+    """vacuum_engine_state deletes superseded frontier/bloom/schedule data
+    for old rounds; product tables survive, resume continues from the
+    latest (untouched) snapshot, and time travel to vacuumed state fails
+    loudly."""
+    import pytest
+
+    pages, seeds, robots = corpus_dfs
+    wh_a = str(tmp_path / "a")
+    wh_b = str(tmp_path / "b")
+    log_a = run_crawl(spark, pages, seeds, robots, wh_a, rounds=ROUNDS)
+
+    log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=2)
+    assert log_b.vacuum_engine_state(keep_last=1) == [0]
+    # product tables for round 0 still readable and identical
+    for name in ("text", "entries", "fetch_log"):
+        assert _table_fingerprint(spark, log_b, 0, name) == \
+            _table_fingerprint(spark, log_a, 0, name), name
+    # vacuumed engine state fails loudly
+    with pytest.raises(KeyError):
+        log_b.load_table(spark, 0, "frontier")
+    # resume continues bit-for-bit from the latest snapshot
+    log_b = run_crawl(spark, pages, seeds, robots, wh_b, rounds=ROUNDS)
+    from opps_feedcrawler_spark.plans.crawl import ROUND_TABLES
+
+    for name in ROUND_TABLES:
+        assert _table_fingerprint(spark, log_a, ROUNDS - 1, name) == \
+            _table_fingerprint(spark, log_b, ROUNDS - 1, name), name
+
+
+def test_compact_every_in_engine_loop(spark, corpus_dfs, tmp_path):
+    """run_crawl(compact_seen_every=2) must produce identical output to an
+    uncompacted run and leave a committed base behind."""
+    pages, seeds, robots = corpus_dfs
+    wh_a = str(tmp_path / "a")
+    wh_b = str(tmp_path / "b")
+    log_a = run_crawl(spark, pages, seeds, robots, wh_a, rounds=ROUNDS)
+    log_b = run_crawl(
+        spark, pages, seeds, robots, wh_b, rounds=ROUNDS, compact_seen_every=2
+    )
+    assert log_b.latest_seen_base(ROUNDS - 1) is not None
+    from opps_feedcrawler_spark.plans.crawl import ROUND_TABLES
+
+    for r in log_a.snapshot_ids():
+        for name in ROUND_TABLES:
+            assert _table_fingerprint(spark, log_a, r, name) == \
+                _table_fingerprint(spark, log_b, r, name), (r, name)
