@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--prepared", action="store_true",
                     help="pages dir is already prepare_pages() output")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--compact-seen-every", type=int, default=None,
+                    help="fold seen deltas into a base every N rounds")
+    ap.add_argument("--vacuum-keep", type=int, default=None,
+                    help="after the run, delete superseded engine-state "
+                         "tables for all but the newest N snapshots")
     args = ap.parse_args()
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
@@ -53,7 +58,10 @@ def main() -> None:
     log = run_crawl(
         spark, pages, seeds, robots, args.warehouse,
         rounds=args.rounds, pages_prepared=args.prepared,
+        compact_seen_every=args.compact_seen_every,
     )
+    if args.vacuum_keep is not None:
+        log.vacuum_engine_state(keep_last=args.vacuum_keep)
     # --rounds 0 (or a fresh warehouse where no round committed) is a
     # legitimate no-op run: report the empty state instead of crashing on
     # read_snapshot(None).
