@@ -14,7 +14,11 @@ import pytest
 
 from opps_feedcrawler_spark.plans.queries import ORACLE_SQL, QUERIES
 
-SF_DIR = "/root/testdata/sf0.01"
+# sf0.01 is the driver's gate; OFS_PARITY_SF=0.1 runs the same harness at
+# the 10x bench scale (the round-1/2 dual-scale parity sweep)
+import os
+
+SF_DIR = f"/root/testdata/sf{os.environ.get('OFS_PARITY_SF', '0.01')}"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
