@@ -62,14 +62,18 @@ def robots_allowed(path: str, rules: list | None) -> bool:
     return best_allow
 
 
-def parse_robots_txt(text: str) -> dict:
-    """Minimal RFC 9309 parser for the `*` user-agent group:
-    returns {"crawl_delay": float|None, "rules": [{"allow","prefix"}...]}.
-    Only the wildcard group is honored (this engine identifies as a generic
-    crawler, as the reference's feedparser-based fetcher does [PK])."""
-    crawl_delay = None
-    rules: list[dict] = []
-    in_star_group = False
+def parse_robots_txt(text: str, agent: str = "*") -> dict:
+    """RFC 9309 parser with §2.2.1 group selection: groups are runs of
+    consecutive ``User-agent`` lines followed by their rules; the crawler
+    uses ALL groups whose user-agent token equals its product token
+    (case-insensitive), falling back to the ``*`` groups when none match.
+    Returns {"crawl_delay": float|None, "rules": [{"allow","prefix"}...]}
+    with matched groups' rules merged in file order. The default
+    ``agent="*"`` keeps the generic-crawler behavior (the reference's
+    feedparser-based fetcher does not identify specially [PK])."""
+    groups: list[dict] = []
+    cur: dict | None = None
+    last_was_ua = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -78,15 +82,32 @@ def parse_robots_txt(text: str) -> dict:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            in_star_group = value == "*"
-        elif in_star_group and key in ("allow", "disallow"):
+            if not last_was_ua or cur is None:
+                cur = {"agents": set(), "rules": [], "crawl_delay": None}
+                groups.append(cur)
+            cur["agents"].add(value.lower())
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if cur is None:
+            continue  # rules before any user-agent line are ignored
+        if key in ("allow", "disallow"):
             if value:
-                rules.append({"allow": key == "allow", "prefix": value})
-        elif in_star_group and key == "crawl-delay":
+                cur["rules"].append({"allow": key == "allow", "prefix": value})
+        elif key == "crawl-delay":
             try:
-                crawl_delay = float(value)
+                cur["crawl_delay"] = float(value)
             except ValueError:
                 pass
+    tok = agent.lower()
+    matched = [g for g in groups if tok != "*" and tok in g["agents"]]
+    if not matched:
+        matched = [g for g in groups if "*" in g["agents"]]
+    rules = [r for g in matched for r in g["rules"]]
+    crawl_delay = next(
+        (g["crawl_delay"] for g in matched if g["crawl_delay"] is not None),
+        None,
+    )
     return {"crawl_delay": crawl_delay, "rules": rules}
 
 

@@ -609,6 +609,65 @@ def window_first_last_range(spark, sf_dir):
 
 
 @_q(
+    "window_percent_cume",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_cume(spark, sf_dir):
+    """B15 completion: percent_rank + cume_dist (both exact rationals of
+    integer rank/count, so the cross-engine hash is stable)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+@_q(
+    "dedup_title_levenshtein",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) AS dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND b.doc_id = a.doc_id + 20
+    WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 24
+    """,
+)
+def dedup_title_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup signal (the title/prefix fuzzy-match the
+    reference's entry dedup family implies [PK]), CANDIDATE-GATED like
+    every pairwise op here: the pair generator is an equi-join (same
+    source, fixed id offset), never all-pairs; levenshtein runs only on
+    the bounded pair list. Spark's levenshtein == DuckDB's (standard
+    unit-cost edit distance)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 32).alias("prefix")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") == F.col("a.doc_id") + 20),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= 24)
+
+
+@_q(
     "having_big_segments",
     """
     SELECT c_mktsegment, COUNT(*) AS n,

@@ -149,3 +149,35 @@ def test_robots_wildcard_property_native_equals_twin(spark):
         for r in with_robots(frontier, robots).collect()
     }
     assert got == expected
+
+
+def test_parse_robots_agent_groups():
+    """RFC 9309 §2.2.1: consecutive User-agent lines share a group; the
+    crawler merges ALL groups matching its token (case-insensitive) and
+    falls back to '*' groups only when none match."""
+    txt = """
+User-agent: googlebot
+User-agent: ofs-crawler
+Disallow: /shared/
+
+User-agent: *
+Disallow: /generic/
+Crawl-delay: 3
+
+User-agent: OFS-Crawler
+Allow: /shared/ok
+Crawl-delay: 1.5
+"""
+    ours = parse_robots_txt(txt, agent="ofs-crawler")
+    assert ours["rules"] == [
+        {"allow": False, "prefix": "/shared/"},
+        {"allow": True, "prefix": "/shared/ok"},
+    ]
+    assert ours["crawl_delay"] == 1.5  # from a matched group, not '*'
+
+    other = parse_robots_txt(txt, agent="someone-else")
+    assert other["rules"] == [{"allow": False, "prefix": "/generic/"}]
+    assert other["crawl_delay"] == 3.0
+
+    generic = parse_robots_txt(txt)  # default '*' behavior unchanged
+    assert generic["rules"] == [{"allow": False, "prefix": "/generic/"}]
