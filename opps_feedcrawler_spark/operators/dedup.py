@@ -270,13 +270,20 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming using the
     pigeonhole 4-quarter split: any pair within hamming ≤ 3 agrees exactly on
     at least one 16-bit quarter → 4 equi-join passes, no all-pairs scan.
     Recall is guaranteed only for max_hamming ≤ 3 (quarters - 1); larger
     thresholds are best-effort candidate generation (standard SimHash-LSH
-    behavior — add block permutations for guarantees at higher radii)."""
+    behavior — add block permutations for guarantees at higher radii).
+
+    Degenerate (q, qval) buckets are capped at max_bucket rows
+    (deterministically, lowest ids kept) — the same guard the MinHash
+    banding applies: a web corpus's boilerplate/empty documents collapse
+    onto few signatures (every empty doc has sig 0), and an uncapped
+    bucket would pair them O(n²)."""
     sigs = docs.select(
         F.col(id_col).alias("id"),
         simhash_udf(
@@ -294,6 +301,10 @@ def simhash_pairs(
                 ]
             )
         ).alias("q", "qval"),
+    )
+    wq = F.row_number().over(Window.partitionBy("q", "qval").orderBy("id"))
+    quarters = (
+        quarters.withColumn("_rn", wq).filter(F.col("_rn") <= max_bucket).drop("_rn")
     )
     cand = (
         quarters.alias("x")

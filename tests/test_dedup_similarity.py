@@ -246,3 +246,21 @@ def test_byte_histogram_features_real_and_retrieval(spark):
         k=1,
     ).collect()[0]
     assert top.neighbor_id == ids["u3"] and top.cos == 1.0
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    """A corpus of many empty/identical-boilerplate docs (all share one
+    SimHash signature) must not explode the pair count O(n^2): the
+    per-(quarter, value) bucket cap bounds candidates; planted distinct
+    near-dups are still found."""
+    rows = [(i, "") for i in range(500)] + [
+        (1000, "alpha beta gamma delta epsilon"),
+        (1001, "alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_pairs(docs, max_hamming=0, max_bucket=50).collect()
+    # empty docs pair only within the capped bucket: ≤ C(50,2) per quarter
+    n_empty_pairs = sum(1 for r in pairs if r.id_a < 500 and r.id_b < 500)
+    assert n_empty_pairs <= 50 * 49 // 2, n_empty_pairs
+    # the real planted duplicate outside the degenerate mass is found
+    assert any(r.id_a == 1000 and r.id_b == 1001 for r in pairs)
