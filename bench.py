@@ -111,7 +111,9 @@ def crawl_bench(cores: int) -> dict:
     spark = _spark(cores)
     # one-time corpus ingestion (url canonicalization + dedup), cached on
     # disk like a real warehouse table — crawl sessions read it prepared
-    prep_dir = corpus["pages_dir"] + "_prepared"
+    # compression is part of the cache identity: a stale snappy prep dir
+    # from an older code version must not silently serve a "zstd" bench
+    prep_dir = corpus["pages_dir"] + "_prepared_zstd"
     if not os.path.exists(os.path.join(prep_dir, "_SUCCESS")):
         # Size the dedup shuffle for blob volume: the reduce-side sort in
         # prepare_pages must handle total_html_bytes / partitions per task,

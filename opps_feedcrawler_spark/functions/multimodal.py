@@ -176,7 +176,7 @@ def byte_histogram_features(
         for pdf in batches:
             urls, sizes, feats = [], [], []
             for url, b in zip(pdf[url_col], pdf[bin_col]):
-                blob = bytes(b)
+                blob = bytes(b) if b is not None else b""
                 urls.append(url)
                 sizes.append(len(blob))
                 if blob:

@@ -136,7 +136,10 @@ def jaccard_for_pairs(
     appear in `pairs`, and the intersection join is driven by the pair
     list, so total work is O(Σ shared words over candidate pairs) — the
     candidate generator bounds the cost, never an all-pairs word self-join.
-    Pairs sharing no words get jaccard 0. Output: id_a, id_b, jaccard."""
+    EVERY requested pair comes back exactly once: pairs sharing no words
+    — including pairs whose endpoint has an empty word set — get
+    jaccard 0 (left joins + zero-denominator guard). Output: id_a, id_b,
+    jaccard."""
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -150,14 +153,29 @@ def jaccard_for_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    inter_c = F.coalesce(F.col("inter"), F.lit(0))
+    denom = (
+        F.coalesce(F.col("sz_a"), F.lit(0))
+        + F.coalesce(F.col("sz_b"), F.lit(0))
+        - inter_c
+    )
     return (
         pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+            "left",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+            "left",
+        )
         .withColumn(
             "jaccard",
-            F.coalesce(F.col("inter"), F.lit(0)).cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))).cast("double"),
+            F.when(
+                denom > 0, inter_c.cast("double") / denom.cast("double")
+            ).otherwise(F.lit(0.0)),
         )
         .select("id_a", "id_b", "jaccard")
     )

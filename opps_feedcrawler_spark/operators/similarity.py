@@ -103,9 +103,16 @@ def kmeans_centroids(
         .limit(sample_size)
         .collect()
     )
+    spark = corpus.sparkSession
     mat = np.array([list(r.v) for r in sample], dtype=np.float64)
+    if mat.ndim != 2 or len(mat) == 0:
+        # empty corpus: no centroids → callers produce empty results, the
+        # same graceful degradation the lowest-id picker had
+        return spark.createDataFrame([], "cell int, cv array<double>")
     norms = np.linalg.norm(mat, axis=1)
     mat = mat[norms > 0] / norms[norms > 0, None]
+    if len(mat) == 0:  # only zero-norm vectors: cosine is undefined
+        return spark.createDataFrame([], "cell int, cv array<double>")
     n_cells = min(n_cells, len(mat))
     rng = np.random.RandomState(_KMEANS_SEED)
     cents = mat[rng.choice(len(mat), size=n_cells, replace=False)]
@@ -119,7 +126,6 @@ def kmeans_centroids(
                 nrm = np.linalg.norm(m)
                 if nrm > 0:
                     cents[c] = m / nrm
-    spark = corpus.sparkSession
     return spark.createDataFrame(
         [(int(i), [float(x) for x in cents[i]]) for i in range(n_cells)],
         "cell int, cv array<double>",

@@ -178,6 +178,11 @@ class SnapshotLog:
         (tests/test_resume.py). Returns the vacuumed snapshot ids."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError(
+                "keep_last must be >= 1: the newest snapshot's engine "
+                "state is what resume reads"
+            )
         ids = self.snapshot_ids()
         vacuumed = []
         for sid in ids[: max(0, len(ids) - keep_last)]:

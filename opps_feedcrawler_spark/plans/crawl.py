@@ -246,14 +246,18 @@ def crawl_round(
     # cluster where a round's schedule outgrows the broadcast threshold,
     # the swap is a warehouse bucketed by url_norm (co-located semi join,
     # still no per-round blob sort) — the round dataflow is unchanged.
+    http_fetched = None
     if fetch_mode == "http":
         # Production fetch: mapInPandas HTTP with a per-partition
         # connection pool (sources/httpfetch.py). Same downstream shape —
         # html bytes are born executor-side and parsed in the next narrow
         # stage, never shuffled. Not bit-for-bit resumable (network).
+        # Persisted because BOTH the parse path and the fetch_log read it
+        # — without the cache the URLs would be fetched twice.
         from ..sources.httpfetch import fetch_http, fetched_as_pages
 
-        page_hits = fetched_as_pages(fetch_http(scheduled))
+        http_fetched = fetch_http(scheduled).persist(StorageLevel.MEMORY_AND_DISK)
+        page_hits = fetched_as_pages(http_fetched)
     elif fetch_mode == "bucketed":
         # Corpus is a url_norm-bucketed warehouse table
         # (prepare_pages_bucketed): the semi join co-locates on the
@@ -288,13 +292,35 @@ def crawl_round(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    fetch_log = enriched.select(
-        F.lit(round_no).alias("round"),
-        "url_norm",
-        "host",
-        F.when(F.col("hit"), 200).otherwise(404).alias("status"),
-        "bytes",
-    )
+    if http_fetched is not None:
+        # real transport outcomes: the fetcher's status (500, 0 = transport
+        # error, truncation-capped bytes, ...) goes to the log verbatim —
+        # synthesizing 200/404 from the parse-hit bit would hide them
+        fetch_log = (
+            scheduled.select(
+                F.lit(round_no).alias("round"), "url_norm", "host"
+            )
+            .join(
+                http_fetched.select("url_norm", "status", "bytes"),
+                "url_norm",
+                "left",
+            )
+            .select(
+                "round",
+                "url_norm",
+                "host",
+                F.coalesce(F.col("status"), F.lit(0)).alias("status"),
+                F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
+            )
+        )
+    else:
+        fetch_log = enriched.select(
+            F.lit(round_no).alias("round"),
+            "url_norm",
+            "host",
+            F.when(F.col("hit"), 200).otherwise(404).alias("status"),
+            "bytes",
+        )
     hits = enriched.filter(F.col("hit"))
     text = hits.select(
         F.col("url_norm").alias("url"), F.col("ex.text").alias("text")
@@ -375,6 +401,8 @@ def crawl_round(
         enriched.unpersist()
         seen_delta.unpersist()
         new_bloom.unpersist()
+        if http_fetched is not None:
+            http_fetched.unpersist()
 
     def materialize() -> None:
         """Fill the round's shared caches with ONE pass each. Must run
@@ -447,6 +475,7 @@ def run_crawl(
     rounds: int,
     pages_prepared: bool = False,
     compact_seen_every: int | None = None,
+    fetch_mode: str = "corpus",
 ) -> SnapshotLog:
     """Run (or resume) the crawl for `rounds` total rounds, one snapshot per
     round. Resume (A17): pass the same warehouse — the loop continues after
@@ -460,7 +489,11 @@ def run_crawl(
     compact_seen_every=k folds the seen deltas into a base every k rounds
     (SnapshotLog.compact_seen) so long crawls keep a bounded read
     file-set; compaction is bit-transparent to every consumer, so any k
-    (or none) yields identical crawl output."""
+    (or none) yields identical crawl output.
+
+    fetch_mode selects the R6 stage: "corpus" broadcast-semi (default),
+    "bucketed" (pass prepare_pages_bucketed's table as `pages` with
+    pages_prepared=True), or "http" (real network fetch)."""
     from concurrent.futures import ThreadPoolExecutor
 
     log = SnapshotLog(warehouse)
@@ -495,7 +528,8 @@ def run_crawl(
     for round_no in range(first, rounds):
         _t0 = _time.monotonic()
         out = crawl_round(
-            spark, frontier, seen, bloom, prepared, robots, round_no
+            spark, frontier, seen, bloom, prepared, robots, round_no,
+            fetch_mode=fetch_mode,
         )
         # Materialize the shared caches first (one corpus scan + one parse +
         # one bloom build — Spark's block manager does not dedupe in-flight

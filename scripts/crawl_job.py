@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--prepared", action="store_true",
                     help="pages dir is already prepare_pages() output")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--fetch-mode", default="corpus",
+                    choices=["corpus", "bucketed", "http"],
+                    help="R6 fetch stage; 'bucketed' expects --prepared "
+                         "pages from prepare_pages_bucketed, 'http' does "
+                         "real network fetches")
     ap.add_argument("--compact-seen-every", type=int, default=None,
                     help="fold seen deltas into a base every N rounds")
     ap.add_argument("--vacuum-keep", type=int, default=None,
@@ -59,6 +64,7 @@ def main() -> None:
         spark, pages, seeds, robots, args.warehouse,
         rounds=args.rounds, pages_prepared=args.prepared,
         compact_seen_every=args.compact_seen_every,
+        fetch_mode=args.fetch_mode,
     )
     if args.vacuum_keep is not None:
         log.vacuum_engine_state(keep_last=args.vacuum_keep)

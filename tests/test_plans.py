@@ -182,8 +182,7 @@ def test_global_sequence_no_single_task_data_sort(spark):
     # ...and the only global (unpartitioned) window is over the counts agg
     import re
 
-    for m in re.finditer(r"Window \[sum\(_n\)", plan):
-        pass  # offsets window exists — its input is the tiny aggregate
+    assert "sum(_n#" in plan  # the offsets prefix-sum window exists
     # no row_number window over the full schedule without partition keys:
     assert not re.search(r"Window \[row_number\(\)[^\n]*\]\s*$", plan, re.M)
     out.ofs_unpersist()
