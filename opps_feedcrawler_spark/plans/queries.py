@@ -668,6 +668,71 @@ def dedup_title_levenshtein(spark, sf_dir):
 
 
 @_q(
+    "unpivot_lineitem_metrics",
+    """
+    WITH u AS (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+    SELECT metric, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(val) AS vmin, MAX(val) AS vmax
+    FROM u GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    """Unpivot/melt (the wide→long reshape, B14's inverse): lineitem's
+    numeric metrics become (metric, val) rows via the native unpivot
+    operator, then aggregate per metric. Decimal-exact totals so the
+    cross-engine hash is stable."""
+    li = T(spark, sf_dir, "lineitem")
+    u = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        ],
+        "metric",
+        "val",
+    )
+    return u.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )
+
+
+@_q(
+    "explode_outer_doc_words",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN NULL
+                  ELSE string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+             END AS ws
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id, u.word
+    FROM w LEFT JOIN LATERAL UNNEST(ws) AS u(word) ON true
+    """,
+)
+def explode_outer_doc_words(spark, sf_dir):
+    """explode_outer (null-preserving 1→N): documents with empty text keep
+    one row with a NULL word instead of vanishing — the outer variant the
+    link/entry expansion uses when misses must stay visible."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    words = F.when(
+        F.length(F.trim(F.col("text"))) > 0,
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+    )
+    return d.select("doc_id", F.explode_outer(words).alias("word"))
+
+
+@_q(
     "having_big_segments",
     """
     SELECT c_mktsegment, COUNT(*) AS n,
