@@ -733,6 +733,84 @@ def explode_outer_doc_words(spark, sf_dir):
 
 
 @_q(
+    "null_safe_join_values",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(FLOOR(value) AS INT) % 5 END AS vbucket
+      FROM events)
+    SELECT a.vbucket AS vbucket, COUNT(*) AS n_pairs
+    FROM e a JOIN e b
+      ON a.vbucket IS NOT DISTINCT FROM b.vbucket
+     AND b.event_id = a.event_id + 1
+    GROUP BY a.vbucket
+    """,
+)
+def null_safe_join_values(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL buckets
+    match each other — the semantics an equi-join silently drops. Adjacent
+    event ids keep the pair count bounded."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_type") != "error",
+            F.floor("value").cast("int") % 5,
+        ).alias("vbucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.vbucket").eqNullSafe(F.col("b.vbucket"))
+            & (F.col("b.event_id") == F.col("a.event_id") + 1),
+        )
+        .groupBy(F.col("a.vbucket").alias("vbucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@_q(
+    "window_last_ignore_nulls",
+    """
+    SELECT event_id,
+           LAST_VALUE(purchase_val IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_val
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END
+                   AS purchase_val
+          FROM events)
+    """,
+)
+def window_last_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS analytic window (B16 completion): carry each user's
+    most recent purchase value forward across non-purchase events — the
+    last-observation-carried-forward shape plain last_value cannot
+    express."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_val"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.last("purchase_val", ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_val"),
+    )
+
+
+@_q(
     "having_big_segments",
     """
     SELECT c_mktsegment, COUNT(*) AS n,
