@@ -30,7 +30,7 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..schemas import ENTRY_STRUCT
 
-_FEED_SNIFF = re.compile(rb"<\s*(rss|feed)[\s>]", re.IGNORECASE)
+_FEED_SNIFF = re.compile(rb"<\s*(rss|feed|rdf:rdf)[\s>]", re.IGNORECASE)
 _ATOM_NS = "{http://www.w3.org/2005/Atom}"
 
 # Elements whose text is boilerplate, never content (A13 spec, pinned).
@@ -134,13 +134,42 @@ def _parse_xml(doc: str):
         return None
 
 
+def _feed_root(doc: str):
+    """Parsed XML root when the document both sniffs AND parses as a
+    recognized feed flavor (rss / atom / rdf a.k.a. RSS 1.0); None →
+    process as HTML. A page whose head merely contains '<feed...' (a
+    custom element, or '<rss' inside a script) or that fails XML parsing
+    falls back to the HTML extractors instead of silently contributing
+    zero text and zero links (round-2 review finding)."""
+    if not is_feed(doc):
+        return None
+    root = _parse_xml(doc)
+    if root is None:
+        return None
+    if root.tag.lower().rsplit("}", 1)[-1] in ("rss", "feed", "rdf"):
+        return root
+    return None
+
+
+_RDF_ABOUT = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}about"
+
+
+def _child_text_local(el, name: str) -> str | None:
+    """First child whose LOCAL name matches (RSS 1.0 items namespace
+    their fields; localname match covers rss1.0 + dc elements)."""
+    for c in el:
+        if c.tag.rsplit("}", 1)[-1] == name and c.text:
+            return c.text.strip()
+    return None
+
+
 def _feed_items(root):
     """Yield (guid, title, link, published_raw, summary) per RSS item /
     Atom entry. Field mapping mirrors feedparser's (behavior-level [PK])."""
     if root is None:
         return
-    tag = root.tag.lower()
-    if tag.endswith("rss") or tag.endswith("rdf"):
+    local = root.tag.lower().rsplit("}", 1)[-1]
+    if local == "rss":
         for item in root.iter("item"):
             yield (
                 _xml_text(item, "guid"),
@@ -149,7 +178,20 @@ def _feed_items(root):
                 _xml_text(item, "pubDate"),
                 _xml_text(item, "description"),
             )
-    elif tag.endswith("feed"):
+    elif local == "rdf":
+        # RSS 1.0: <rdf:RDF> root, namespaced <item>s; identity is the
+        # rdf:about attribute, date is dc:date (ISO-8601)
+        for item in root.iter():
+            if item.tag.rsplit("}", 1)[-1] != "item":
+                continue
+            yield (
+                item.get(_RDF_ABOUT),
+                _child_text_local(item, "title"),
+                _child_text_local(item, "link"),
+                _child_text_local(item, "date"),
+                _child_text_local(item, "description"),
+            )
+    elif local == "feed":
         for entry in root.iter(f"{_ATOM_NS}entry"):
             link = None
             for el in entry.findall(f"{_ATOM_NS}link"):
@@ -200,8 +242,8 @@ def extract_text_py(html: bytes | str | None) -> str:
     doc = _decode(html)
     if not doc:
         return ""
-    if is_feed(doc):
-        root = _parse_xml(doc)
+    root = _feed_root(doc)
+    if root is not None:
         parts: list[str] = []
         for _guid, title, _link, _pub, summary in _feed_items(root):
             seg = " — ".join(s for s in (title, summary) if s)
@@ -225,8 +267,9 @@ def extract_links_py(html: bytes | str | None, base_url: str | None) -> list[str
     if not doc:
         return []
     hrefs: list[str] = []
-    if is_feed(doc):
-        for _guid, _title, link, _pub, _summary in _feed_items(_parse_xml(doc)):
+    root = _feed_root(doc)
+    if root is not None:
+        for _guid, _title, link, _pub, _summary in _feed_items(root):
             if link:
                 hrefs.append(link)
     else:
@@ -237,17 +280,7 @@ def extract_links_py(html: bytes | str | None, base_url: str | None) -> list[str
         except Exception:
             pass
         hrefs = p.hrefs
-    out: list[str] = []
-    seen: set[str] = set()
-    for h in hrefs:
-        try:
-            absolute = urljoin(base_url or "", h)
-        except ValueError:
-            continue
-        if absolute and absolute not in seen:
-            seen.add(absolute)
-            out.append(absolute)
-    return out
+    return _resolve_links(hrefs, base_url)
 
 
 def extract_entries_py(html: bytes | str | None) -> list[dict]:
@@ -255,10 +288,13 @@ def extract_entries_py(html: bytes | str | None) -> list[dict]:
     guid falls back to link (the reference dedups by link when guid is
     absent — behavior-level [PK])."""
     doc = _decode(html)
-    if not doc or not is_feed(doc):
+    if not doc:
+        return []
+    root = _feed_root(doc)
+    if root is None:
         return []
     out = []
-    for guid, title, link, pub_raw, summary in _feed_items(_parse_xml(doc)):
+    for guid, title, link, pub_raw, summary in _feed_items(root):
         out.append(
             {
                 "entry_guid": guid or link,
@@ -295,8 +331,9 @@ def extract_all_py(
     doc = _decode(html)
     if not doc:
         return "", [], []
-    if is_feed(doc):
-        items = list(_feed_items(_parse_xml(doc)))
+    root = _feed_root(doc)
+    if root is not None:
+        items = list(_feed_items(root))
         text_parts: list[str] = []
         hrefs: list[str] = []
         entries: list[dict] = []

@@ -24,6 +24,7 @@ Idempotent: canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)
 
 from __future__ import annotations
 
+import re
 from urllib.parse import quote, unquote, urlsplit
 
 import pandas as pd
@@ -41,15 +42,40 @@ _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_KEYS = frozenset({"fbclid", "gclid", "ref", "mc_eid"})
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 # RFC 3986 unreserved + sub-delims + path chars we keep literal on re-quote.
-_SAFE_PATH = "/:@!$&'()*+,;=~-._"
-_SAFE_QUERY = ":@!$&'()*+,;=~-._/?"
+# '%' is in both safe sets so already-encoded escapes (normalized by
+# _normalize_pct below) pass through quote() untouched.
+_SAFE_PATH = "/:@!$&'()*+,;=~-._%"
+# Query safe set EXCLUDES '&' and '=': they are the query's structural
+# separators, so an escape like %26 must stay an escape — decoding it
+# would merge distinct URLs ("?a=%26b%3Dc" is one pair, "?a=&b=c" is two)
+# and break idempotence (round-1 review finding).
+_SAFE_QUERY = ":@!$'()*+,;~-._/?%"
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _normalize_pct(s: str) -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode ONLY escapes
+    of unreserved characters; every other escape keeps its meaning (%2F is
+    NOT '/') and is case-normalized to uppercase hex. Malformed '%' runs
+    are left untouched."""
+
+    def _sub(m: re.Match) -> str:
+        c = chr(int(m.group(1), 16))
+        return c if c in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(_sub, s)
 
 
 def _normalize_path(path: str) -> str:
-    """Resolve dot-segments (RFC 3986 §5.2.4) and normalize percent-encoding."""
+    """Resolve dot-segments (RFC 3986 §5.2.4) and normalize percent-encoding
+    (unreserved-only decode — reserved escapes keep their identity)."""
     if not path:
         return "/"
-    path = quote(unquote(path), safe=_SAFE_PATH)
+    path = quote(_normalize_pct(path), safe=_SAFE_PATH)
     segments: list[str] = []
     for seg in path.split("/"):
         if seg == ".":
@@ -75,11 +101,17 @@ def _normalize_query(query: str) -> str:
         if not part:
             continue
         k, _, v = part.partition("=")
+        # tracking-key check decodes fully (a %75tm_source is still
+        # tracking); the EMITTED form only decodes unreserved escapes so
+        # encoded separators keep their identity
         k_dec = unquote(k)
         if k_dec.lower().startswith(_TRACKING_PREFIXES) or k_dec.lower() in _TRACKING_KEYS:
             continue
         pairs.append(
-            (quote(k_dec, safe=_SAFE_QUERY), quote(unquote(v), safe=_SAFE_QUERY))
+            (
+                quote(_normalize_pct(k), safe=_SAFE_QUERY),
+                quote(_normalize_pct(v), safe=_SAFE_QUERY),
+            )
         )
     pairs.sort()
     return "&".join(f"{k}={v}" if v else k for k, v in pairs)

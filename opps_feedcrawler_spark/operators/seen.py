@@ -130,9 +130,15 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
         frames = [f for f in (left, right) if not f.empty]
         bucket = int(frames[0]["bucket"].iloc[0])
         acc: np.ndarray | None = None
+        # OR EVERY row of both sides: a caller may legitimately pass a
+        # union of several per-round delta tables (multiple rows per
+        # bucket); reading only the first row would silently drop bits
+        # and turn bloom misses into false definite-news (round-2 review
+        # finding) — the filter's no-false-negative contract.
         for f in frames:
-            arr = np.frombuffer(f["bitset"].iloc[0], dtype=np.uint8)
-            acc = arr.copy() if acc is None else (acc | arr)
+            for bs in f["bitset"]:
+                arr = np.frombuffer(bs, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
         return pd.DataFrame({"bucket": [bucket], "bitset": [acc.tobytes()]})
 
     return (

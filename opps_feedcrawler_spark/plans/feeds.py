@@ -8,8 +8,9 @@ parse → per-entry dedup → insert capped entries. Here the whole pass is one
 DataFrame plan over all feeds at once:
 
   feeds ⋈ pages (fetch) → fused Arrow-UDF parse → explode →
-  per-feed max_entries cap (document order, deterministic) →
-  dedup by (feed_id, entry_guid) → publish filter
+  dedup by (feed_id, guid-else-link-else-position) →
+  per-feed max_entries cap over the SURVIVORS (document order — the
+  reference's skip-existing-then-insert-capped loop) → publish filter
 
 Processor dispatch: the reference picks a parser class per feed; our fused
 extractor sniffs RSS vs Atom per page (functions/extract.is_feed), so the
@@ -63,11 +64,20 @@ def register_feeds(feeds: DataFrame) -> DataFrame:
 
 def _detected_flavor(html_col: F.Column) -> F.Column:
     """Native feed-flavor sniff, mirroring extract.is_feed + the RSS/Atom
-    root-tag split (first 2 KB prefix scan, JVM-side)."""
-    head = F.substring(html_col.cast("string"), 1, 2048)
+    root-tag split (first 2 KB prefix scan, JVM-side). The EARLIER element
+    match wins — an Atom feed whose head happens to contain '<rss' later
+    (comment/CDATA) must not be classified rss (round-2 review finding).
+    The binary column is sliced BEFORE the string cast so only 2 KB per
+    row are decoded, matching is_feed's raw[:2048] semantics."""
+    head = F.substring(html_col, 1, 2048).cast("string")
+    rss_pos = F.regexp_instr(head, F.lit(r"(?i)<\s*rss[\s>]"))
+    atom_pos = F.regexp_instr(head, F.lit(r"(?i)<\s*feed[\s>]"))
     return (
-        F.when(head.rlike(r"(?i)<\s*rss[\s>]"), F.lit("rss"))
-        .when(head.rlike(r"(?i)<\s*feed[\s>]"), F.lit("atom"))
+        F.when(
+            (rss_pos > 0) & ((atom_pos == 0) | (rss_pos < atom_pos)),
+            F.lit("rss"),
+        )
+        .when(atom_pos > 0, F.lit("atom"))
         .otherwise(F.lit("html"))
     )
 
@@ -102,14 +112,11 @@ def process_feeds(
             F.posexplode(extract_entries_udf("html")).alias("pos", "e"),
         )
     )
-    w = Window.partitionBy("feed_id").orderBy("pos")
-    capped = parsed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= F.col("max_entries")
-    )
-    entries = capped.select(
+    entries = parsed.select(
         "feed_id",
         "slug",
         "group_name",
+        "max_entries",
         F.coalesce(F.col("e.entry_guid"), F.col("e.link")).alias("entry_guid"),
         F.trim(F.col("e.title")).alias("title"),
         F.col("e.link").alias("link"),
@@ -118,12 +125,27 @@ def process_feeds(
         "pos",
         "publish",
     )
-    # deterministic dedup: FIRST occurrence in document order wins (the
-    # reference's insert-if-absent loop semantics [PK]) — dropDuplicates
-    # would keep an arbitrary row per guid
-    wd = Window.partitionBy("feed_id", "entry_guid").orderBy("pos")
-    return (
+    # Reference loop semantics [PK]: iterate items in document order,
+    # SKIP entries that already exist (dedup by guid-else-link), INSERT
+    # until the cap — so dedup runs FIRST and duplicates never consume
+    # cap slots (round-2 review finding: cap-then-dedup under-publishes).
+    # Dedup key: guid, else link, else a per-position sentinel — entries
+    # with neither guid nor link are all distinct (the reference's
+    # existence query 'link = NULL' never matches), so NULL keys must not
+    # collapse into one window partition.
+    dedup_key = F.coalesce(
+        F.col("entry_guid"),
+        F.concat(F.lit("::pos-"), F.col("pos").cast("string")),
+    )
+    wd = Window.partitionBy("feed_id", dedup_key).orderBy("pos")
+    deduped = (
         entries.withColumn("_dn", F.row_number().over(wd))
-        .filter((F.col("_dn") == 1) & F.col("publish"))
-        .drop("_dn", "publish")
+        .filter(F.col("_dn") == 1)
+        .drop("_dn")
+    )
+    w = Window.partitionBy("feed_id").orderBy("pos")
+    return (
+        deduped.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") <= F.col("max_entries")) & F.col("publish"))
+        .drop("_rn", "max_entries", "publish")
     )

@@ -92,3 +92,53 @@ def test_text_udf_matches_pure_fn(spark):
     df = spark.createDataFrame([(HTML,), (RSS,), (ATOM,)], "html binary")
     got = {r.text for r in df.select(extract_text_udf("html").alias("text")).collect()}
     assert got == {extract_text_py(HTML), extract_text_py(RSS), extract_text_py(ATOM)}
+
+
+def test_feed_sniff_false_positive_falls_back_to_html():
+    """A page whose head contains '<feed'/'<rss' but is not a parseable
+    feed (custom elements, rss inside markup) must go through the HTML
+    extractors instead of silently yielding nothing."""
+    fake = (
+        b"<html><body><feed-widget>Hello world</feed-widget>"
+        b"<a href='http://x.example/a'>a</a><p><rss broken</p></body></html>"
+    )
+    assert "Hello world" in extract_text_py(fake)
+    assert extract_links_py(fake, "http://b.example/") == ["http://x.example/a"]
+    assert extract_entries_py(fake) == []
+    t, l, e = extract_all_py(fake, "http://b.example/")
+    assert t == extract_text_py(fake)
+    assert l == extract_links_py(fake, "http://b.example/")
+    assert e == []
+
+
+RDF = b"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns="http://purl.org/rss/1.0/"
+         xmlns:dc="http://purl.org/dc/elements/1.1/">
+<channel rdf:about="http://r.example/"><title>Chan</title></channel>
+<item rdf:about="http://r.example/1"><title>T1</title>
+  <link>http://r.example/1</link><dc:date>2024-01-02T03:04:05Z</dc:date>
+  <description>D1</description></item>
+<item rdf:about="http://r.example/2"><title>T2</title>
+  <link>http://r.example/2</link></item>
+</rdf:RDF>"""
+
+
+def test_rss10_rdf_feed_supported():
+    """RSS 1.0 (<rdf:RDF> root, namespaced items): entry identity from
+    rdf:about, ISO dc:date parsed, links extracted; fused parity holds."""
+    from datetime import datetime
+
+    assert is_feed(RDF)
+    es = extract_entries_py(RDF)
+    assert [e["entry_guid"] for e in es] == [
+        "http://r.example/1",
+        "http://r.example/2",
+    ]
+    assert es[0]["published_ts"] == datetime(2024, 1, 2, 3, 4, 5)
+    assert extract_links_py(RDF, None) == [
+        "http://r.example/1",
+        "http://r.example/2",
+    ]
+    t, l, e = extract_all_py(RDF, None)
+    assert (t, l, e) == (extract_text_py(RDF), extract_links_py(RDF, None), es)

@@ -64,8 +64,10 @@ def test_process_cap_dedup_and_order(spark):
     rows = sorted(
         process_feeds(reg, _pages(spark)).collect(), key=lambda r: r.pos
     )
-    # cap=3 keeps items 1-3 in document order; item 3 (dup guid g1) dedups
-    assert [r.entry_guid for r in rows] == ["g1", "http://x.example/2"]
+    # reference loop semantics: dedup FIRST (item 3's dup guid g1 is
+    # skipped and consumes no cap slot), then cap=3 inserts the next
+    # unique entry (g4) — duplicates never shrink the published set
+    assert [r.entry_guid for r in rows] == ["g1", "http://x.example/2", "g4"]
     assert rows[0].title == "One"  # trimmed
     assert rows[1].entry_guid == "http://x.example/2"  # guid falls back to link
 
