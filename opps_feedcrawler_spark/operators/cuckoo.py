@@ -83,9 +83,18 @@ def _insert_into(table: np.ndarray, hashes: np.ndarray, rng_seed: int) -> int:
     fp = _fingerprint(hashes)
     i1 = _index1(hashes)
     i2 = _alt_index(i1, fp)
-    # pass 1 — de-dup within the batch: identical (i1, fp) pairs once
+    # pass 1 — de-dup within the batch: keys the filter cannot tell apart
+    # (same fingerprint AND same unordered {i1, i2} bucket pair) insert
+    # once. Since i2 = i1 XOR g(fp), two equal-fp keys share the bucket
+    # pair iff min(i1, i2) matches, so (min, fp) is the canonical entry
+    # key. Keying on bare (i1, fp) let a mirrored pair — i1_a == i2_b and
+    # i2_a == i1_b — store two copies, which a single delete only half
+    # cleared: the expired key kept probing maybe_seen forever and wasted
+    # a slot (ADVICE r2). This matches incremental-insert semantics, where
+    # the second copy is caught by the pass-2 presence check.
+    mn = np.minimum(i1, i2).astype(np.uint64)
     _, first = np.unique(
-        i1.astype(np.uint64) << np.uint64(16) | fp.astype(np.uint64),
+        mn << np.uint64(16) | fp.astype(np.uint64),
         return_index=True,
     )
     keep = np.sort(first)

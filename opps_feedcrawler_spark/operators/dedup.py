@@ -31,13 +31,19 @@ from ..functions.textstats import fingerprint, normalize_ws
 
 N_MINHASH = 64
 N_BANDS = 16  # rows per band = 4
-# Universal-hash modulus: Mersenne prime 2^31-1. Operands are masked to 31
-# bits so every a*x+b product stays < 2^62 — plain int64 numpy arithmetic,
-# no object-dtype big-int fallback (that was the round-1 per-row slow path).
+# Universal-hash modulus: Mersenne prime 2^31-1. The 64-bit word hash is
+# split into two 31-bit halves and mixed with two independent coefficient
+# vectors — g_i(x) = (a_i·x_lo + a2_i·x_hi + b_i) mod p — a 2-universal
+# family over the full 62-bit word-hash domain (ADVICE r2: a single 31-bit
+# mask collided distinct words at ~50k-vocab birthday scale, making recall
+# vocabulary-dependent). Every product stays < 2^62 and the three-term sum
+# < 2^63, so it is still plain int64 numpy arithmetic — no object-dtype
+# big-int fallback (that was the round-1 per-row slow path).
 _MERSENNE31 = (1 << 31) - 1
 _MINHASH_RNG = np.random.RandomState(1234)
 _MH_A = _MINHASH_RNG.randint(1, _MERSENNE31, size=N_MINHASH).astype(np.int64)
 _MH_B = _MINHASH_RNG.randint(0, _MERSENNE31, size=N_MINHASH).astype(np.int64)
+_MH_A2 = _MINHASH_RNG.randint(1, _MERSENNE31, size=N_MINHASH).astype(np.int64)
 # 16-byte key pins pandas' SipHash so word hashes are stable across
 # workers/sessions (the determinism contract of BASELINE.json:6).
 _WORD_HASH_KEY = "ofs-word-hash-16"
@@ -126,10 +132,11 @@ def jaccard_pairs(
 
 
 def jaccard_for_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ws: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard computed ONLY for the given (id_a, id_b)
     candidate pairs. Word sets are first semi-joined down to the ids that
@@ -139,13 +146,20 @@ def jaccard_for_pairs(
     EVERY requested pair comes back exactly once: pairs sharing no words
     — including pairs whose endpoint has an empty word set — get
     jaccard 0 (left joins + zero-denominator guard). Output: id_a, id_b,
-    jaccard."""
+    jaccard.
+
+    Pass `ws` (an (id, word) DataFrame shaped like `word_sets`'s output) to
+    reuse an already-materialized word view instead of re-deriving it from
+    `docs` — minhash_lsh_pairs does this so the text normalize/split runs
+    once for signatures AND verify (the round-2 toy-scale regression)."""
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    ws = word_sets(docs, id_col, text_col).join(ids, "id", "left_semi")
+    if ws is None:
+        ws = word_sets(docs, id_col, text_col)
+    ws = ws.join(ids, "id", "left_semi")
     sizes = ws.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(ws.withColumnRenamed("id", "id_a"), "id_a")
@@ -192,11 +206,14 @@ def minhash_udf(words: pd.Series) -> pd.Series:
     flat, lens, offsets = _flatten_word_lists(words)
     full = np.zeros((len(words), N_MINHASH), dtype=np.int64)
     if len(flat):
-        x = (_hash_words_u64(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        h = _hash_words_u64(flat)
+        x_lo = (h & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        x_hi = ((h >> np.uint64(31)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
         mins = np.empty((len(offsets), N_MINHASH), dtype=np.int64)
         for i in range(N_MINHASH):
             mins[:, i] = np.minimum.reduceat(
-                (x * _MH_A[i] + _MH_B[i]) % _MERSENNE31, offsets
+                (x_lo * _MH_A[i] + x_hi * _MH_A2[i] + _MH_B[i]) % _MERSENNE31,
+                offsets,
             )
         full[lens > 0] = mins
     return pd.Series(full.tolist())
@@ -226,8 +243,25 @@ def minhash_lsh_pairs(
     → per-bucket pairs (bucket size capped: boilerplate-degenerate buckets
     are truncated rather than exploding O(n²)) → exact word-Jaccard verify.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = N_MINHASH // N_BANDS
-    sigs = minhash_signatures(docs, id_col, text_col)
+    # ONE materialization of the normalized word arrays feeds BOTH the
+    # signature UDF and the exact-Jaccard verify (its word_sets view is a
+    # plain explode of the same arrays) — without the persist, Spark
+    # recomputes the normalize/split projection per consuming subtree
+    # (no common-subexpression reuse across plan branches), which doubled
+    # the dominant cost at toy scale (round-2 bench regression). The
+    # cached view is (id, words) only — tiny next to the documents scan —
+    # and the caller may drop it early via the `.ofs_unpersist` attribute
+    # on the result (otherwise Spark's LRU block eviction reclaims it).
+    words_arr = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.split(F.lower(normalize_ws(F.col(text_col))), " ")
+        ).alias("words"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = words_arr.select("id", minhash_udf("words").alias("sig"))
     bands = sigs.select(
         "id",
         F.posexplode(
@@ -255,13 +289,20 @@ def minhash_lsh_pairs(
     )
     # Verify is CANDIDATE-GATED: exact Jaccard is computed only for the
     # LSH candidate pairs, never all-pairs — the pair count (and so the
-    # verify cost) stays bounded by the banding + bucket cap above.
-    return (
-        jaccard_for_pairs(docs, cand, id_col, text_col)
+    # verify cost) stays bounded by the banding + bucket cap above. The
+    # verify's word_sets view is derived from the SAME cached arrays the
+    # signatures used (word_sets == explode(words) minus empty strings).
+    ws = words_arr.select("id", F.explode("words").alias("word")).filter(
+        F.length("word") > 0
+    )
+    out = (
+        jaccard_for_pairs(None, cand, id_col, text_col, ws=ws)
         .withColumnRenamed("jaccard", "jaccard_exact")
         .filter(F.col("jaccard_exact") >= threshold)
         .select("id_a", "id_b", "jaccard_exact")
     )
+    out.ofs_unpersist = lambda: words_arr.unpersist()
+    return out
 
 
 @pandas_udf(LongType())

@@ -96,9 +96,15 @@ def with_global_sequence(scheduled: DataFrame, round_no: int) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     order = [F.col("priority").desc(), F.col("url_norm").asc()]
-    nparts = int(
-        scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # deployments may set the conf to a non-numeric value (e.g. "auto"
+    # under some AQE setups) — fall back to the cluster default instead
+    # of raising (ADVICE r2)
+    try:
+        nparts = int(
+            scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        nparts = scheduled.sparkSession.sparkContext.defaultParallelism
     # monotonically_increasing_id over the range-sorted rows encodes
     # (partition index << 33) + within-partition offset — both phases in
     # one narrow projection, no second shuffle and no single-task window.

@@ -97,9 +97,12 @@ def kmeans_centroids(
     assignment of the full corpus stays distributed in ann_ivf_topk), and
     init is seeded. Empty clusters keep their previous centroid. Output:
     (cell int, cv array<double>) with unit-norm centroids."""
+    # xxhash64 takes the id column as-is (any type): casting to long first
+    # made every non-numeric id NULL, silently degrading the draw to
+    # lowest-id order — the exact bias this sampler replaced (ADVICE r2)
     sample = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id").cast("long")).asc(), F.col("id").asc())
+        .orderBy(F.xxhash64(F.col("id")).asc(), F.col("id").asc())
         .limit(sample_size)
         .collect()
     )

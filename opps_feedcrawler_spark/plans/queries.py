@@ -751,12 +751,15 @@ def null_safe_join_values(spark, sf_dir):
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL buckets
     match each other — the semantics an equi-join silently drops. Adjacent
     event ids keep the pair count bounded."""
+    # mirrors the oracle's CASE exactly: 'error' → NULL, everything ELSE —
+    # including a NULL event_type — computes the bucket (the inverted
+    # when(!= 'error') form sent NULL event_type to a NULL bucket, so
+    # parity silently depended on event_type being non-null; ADVICE r2)
     e = T(spark, sf_dir, "events").select(
         "event_id",
-        F.when(
-            F.col("event_type") != "error",
-            F.floor("value").cast("int") % 5,
-        ).alias("vbucket"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("int"))
+        .otherwise(F.floor("value").cast("int") % 5)
+        .alias("vbucket"),
     )
     a, b = e.alias("a"), e.alias("b")
     return (
