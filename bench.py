@@ -66,7 +66,7 @@ HEADLINE_QUERIES = [
     "text_repetition_stats",
     "text_rare_word_stats",
     "crawl_robots_wildcard",
-    "multimodal_image_meta_stubdecode",
+    "multimodal_image_meta",
     "multimodal_feature_ann",
     "crawl_politeness_topk",
     "crawl_rss_entries",

@@ -3,12 +3,20 @@ with typed metadata, processed through mapInPandas (training-data pipeline
 plane).
 
 The Spark-side plumbing is REAL and tested — schema, Arrow batch shape,
-partition-preserving mapInPandas — while the actual codec work is stubbed:
-no image/audio libraries exist in this container, so ``decode_image_meta``
-derives deterministic fake metadata from the bytes themselves and
-``decode_image_pixels`` raises NotImplementedError where a real deploy would
-call PIL/libvips. Swapping the stub for a real decoder changes ONE pure
-function; the distributed plan is already correct.
+partition-preserving mapInPandas. Codec status per format:
+
+- **PNG: REAL.** ``parse_png_meta`` is a stdlib-only structural parser
+  (8-byte signature, chunk walk, IHDR field extraction, CRC-32
+  verification via zlib.crc32) and ``encode_png`` a minimal real encoder
+  (grayscale-8, zlib-deflated filtered scanlines) used by tests and the
+  driver fixture. No image library needed — width/height/bit-depth are
+  plain big-endian bytes at fixed offsets (PNG spec, RFC 2083 §4.1.1).
+- **JPEG / audio / video: declared stubs.** The container has no
+  libjpeg/ffmpeg; ``decode_image_meta`` falls back to deterministic fake
+  metadata for them and ``decode_image_pixels`` raises
+  NotImplementedError where a real deploy would call PIL/libvips.
+  Swapping a stub for a real decoder changes ONE pure function; the
+  distributed plan is already correct.
 
 Design for 100 TB of media: binaries never pass through a shuffle — the
 decode/feature stage is mapInPandas (narrow, partition-local), metadata-only
@@ -19,6 +27,8 @@ large blobs cannot blow Python-worker memory.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,18 +39,82 @@ IMAGE_META_SCHEMA = (
     "n_frames int, sample_hash long"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, payload: bytes) -> bytes:
+    """REAL minimal PNG encoder (stdlib only): grayscale, 8-bit, one IDAT.
+    ``payload`` supplies the pixel bytes row-major (short payloads are
+    zero-padded); each scanline gets filter byte 0 (None). The output is a
+    spec-valid PNG — correct signature, IHDR with big-endian dimensions,
+    zlib-deflated image data, CRC-32 on every chunk — independently
+    checkable by any PNG reader."""
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dimensions must be positive")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + payload[r * width : (r + 1) * width].ljust(width, b"\x00")
+        for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png_meta(blob: bytes) -> dict:
+    """REAL PNG structural parser (stdlib only): validates the 8-byte
+    signature, requires IHDR as the first chunk (per spec), extracts
+    width/height/bit-depth/color-type from their fixed big-endian offsets,
+    and verifies the IHDR CRC-32. Raises ValueError on malformed input —
+    truncation, bad signature, wrong first chunk, or CRC mismatch."""
+    if len(blob) < 33 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature or truncated")
+    length, ctype = struct.unpack(">I4s", blob[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not a 13-byte IHDR")
+    data = blob[16:29]
+    (crc,) = struct.unpack(">I", blob[29:33])
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
+
 
 def decode_image_meta(blob: bytes) -> dict:
-    """STUB decoder: deterministic fake metadata from the raw bytes.
-    A real deployment replaces this body with PIL.Image.open(...)."""
+    """Image metadata decode. PNG is REAL (parse_png_meta — structural
+    parse with CRC check); JPEG and unknown formats fall back to a
+    deterministic declared STUB (no libjpeg in this container — a real
+    deployment replaces the fallback with PIL.Image.open(...))."""
     n = len(blob)
-    magic = blob[:4]
-    if magic.startswith(b"\x89PNG"):
-        fmt = "png"
-    elif magic.startswith(b"\xff\xd8"):
-        fmt = "jpeg"
-    else:
-        fmt = "unknown"
+    if blob[:8] == _PNG_SIG:
+        meta = parse_png_meta(blob)
+        h = int.from_bytes(blob[:8].ljust(8, b"\0"), "little")
+        return {
+            "n_bytes": n,
+            "format": "png",
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": 1,
+            "sample_hash": (h % (1 << 62)),
+        }
+    fmt = "jpeg" if blob[:2] == b"\xff\xd8" else "unknown"
     # deterministic pseudo-dimensions derived from content, not random
     h = int.from_bytes(blob[:8].ljust(8, b"\0"), "little")
     return {

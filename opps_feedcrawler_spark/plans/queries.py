@@ -2319,29 +2319,55 @@ def multimodal_feature_ann(spark, sf_dir):
     return ann_bruteforce_topk(queries_side, corpus.unionByName(queries_side), k=3)
 
 
+def _duck_be32_from_hex(hx_col: str, start: int) -> str:
+    """SQL expression parsing a big-endian uint32 from 8 hex chars of a
+    hex()'d blob, starting at 1-based char offset `start`. Pure SQL digit
+    arithmetic (strpos over '123456789ABCDEF' maps '0'→0 … 'F'→15) — an
+    independent byte-level parse, sharing no code with the Spark side."""
+    return " + ".join(
+        f"strpos('123456789ABCDEF', substr({hx_col}, {start + i}, 1))"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+from ..sources.fixtures import PNG_FIXTURE_PATH
+
+
 @_q(
-    "multimodal_image_meta_stubdecode",
+    "multimodal_image_meta",
     f"""
     SELECT {_DOC_URL_SQL} AS url,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           'unknown' AS format,
-           CAST(16 + strlen(text) % 640 AS INT) AS width,
-           CAST(16 + (strlen(text) * 7) % 480 AS INT) AS height,
+           CAST(octet_length(png) AS BIGINT) AS n_bytes,
+           CASE WHEN substr(hex(png), 1, 16) = '89504E470D0A1A0A'
+                THEN 'png' ELSE 'unknown' END AS format,
+           CAST({_duck_be32_from_hex('hex(png)', 33)} AS INT) AS width,
+           CAST({_duck_be32_from_hex('hex(png)', 41)} AS INT) AS height,
            1 AS n_frames
     FROM documents
+    JOIN read_parquet('{PNG_FIXTURE_PATH}') USING (doc_id)
     """,
 )
 def multimodal_image_meta(spark, sf_dir):
-    """B35 mapInPandas over an opaque binary column: the decode stub derives
-    metadata deterministically from the bytes, so the whole distributed
-    plumbing (schema, Arrow batching, no-shuffle narrow stage) is oracle-
-    checkable even without codec libraries."""
+    """B35 mapInPandas over an opaque binary column with a REAL decoder:
+    the deterministic PNG fixture (sources/fixtures.py — one spec-valid
+    zlib+CRC PNG per doc_id) is parsed by parse_png_meta, a structural
+    byte parser. The oracle reads the SAME parquet bytes and extracts
+    signature/width/height independently in SQL (hex() + digit
+    arithmetic at the PNG spec's fixed IHDR offsets), so the driver row
+    checks a genuine binary decode, not a shared formula."""
     from ..functions.multimodal import image_metadata
 
-    d = _doc_urls(spark, sf_dir).select(
-        "url", F.encode(F.col("text"), "UTF-8").alias("blob")
+    from ..sources.fixtures import ensure_png_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    png = spark.read.parquet(ensure_png_fixture())
+    # broadcast the metadata side; the blob column stays in its scan
+    # partitions (no blob shuffle — the rule all blob plans here follow)
+    joined = png.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("png").alias("blob")
     )
-    return image_metadata(d, "url", "blob").drop("sample_hash")
+    return image_metadata(joined, "url", "blob").drop("sample_hash")
 
 
 # =========================================================================
@@ -2355,62 +2381,72 @@ def multimodal_image_meta(spark, sf_dir):
 # =========================================================================
 
 _FRONT_ORDER = [
-    # round-1 driver-unchecked entries first (VERDICT.md "Next round" #1)
-    "crawl_seed_ingest",
-    "crawl_robots_filter",
-    "crawl_robots_wildcard",
-    "crawl_rss_entries",
-    "crawl_link_extract",
-    "feeds_process_capped",
-    "dedup_ngram_jaccard",
+    # round-2 additions that sat outside the round-2 50-slot window
+    # (VERDICT r2 "Next round" #1) — never driver-checked, all
+    # oracle-paired, so they lead
+    "window_percent_cume",
+    "window_last_ignore_nulls",
+    "unpivot_lineitem_metrics",
+    "explode_outer_doc_words",
+    "null_safe_join_values",
+    "dedup_title_levenshtein",
+    "text_bpe_token_count",
+    # rows-only entries: their clean runs are worth re-recording every
+    # round (the oracle can't check them, so driver "ran clean" is the
+    # only per-round evidence)
+    "crawl_seen_bloom",
+    "crawl_seen_cuckoo",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "iter_udf_token_count",
-    "udtf_split_sentences",
-    "pivot_priority_status",
-    "scalar_subquery_above_avg",
     "streaming_watermark_dedup",
     "streaming_stateful_host_rate",
-    "multimodal_image_meta_stubdecode",
     "multimodal_feature_ann",
     "crawl_recrawl_ttl",
-    # crawl plane + pipeline entries already green in round 1
+    "approx_distinct_parts",
+    # entries whose implementation changed this round (advisory fixes:
+    # minhash domain widening + word-array reuse are covered by
+    # dedup_minhash_lsh above; null_safe_join_values leads; k-means
+    # sampler fix re-verifies via ann_ivf_topk above) and the crawl
+    # plane, which is the engine's core surface
+    "multimodal_image_meta",
+    "crawl_seed_ingest",
     "crawl_canonicalize",
     "crawl_host_extract",
     "crawl_politeness_topk",
     "crawl_frontier_antijoin",
-    "crawl_seen_bloom",
-    "crawl_seen_cuckoo",
-    "crawl_extract_text",
+    "crawl_robots_filter",
+    "crawl_robots_wildcard",
     "crawl_fetch_join",
+    "crawl_rss_entries",
+    "crawl_extract_text",
+    "crawl_link_extract",
+    "feeds_process_capped",
+    # dedup/ANN/text pipeline representatives
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
     "text_repetition_stats",
     "text_rare_word_stats",
-    "dedup_exact_docs",
-    # one representative per relational operator class (B1-B29, B36);
-    # q5/q10 (third and fourth join-shape variants) and anti_join (B8's
-    # anti is driver-checked via crawl_frontier_antijoin above) yield
-    # their slots to the new pipeline entries
+    # one representative per relational operator class
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "broadcast_dim_join",
     "outer_join_order_counts",
     "theta_band_join",
     "asof_purchase_prev_click",
-    "distinct_agg_segments",
-    "approx_distinct_parts",
-    "rollup_region_nation",
     "window_rank_orders",
     "json_events",
     "session_window_events",
     "udaf_weighted_price",
+    "udtf_split_sentences",
+    "iter_udf_token_count",
 ]
 
 
@@ -2425,3 +2461,15 @@ def _apply_registration_order() -> None:
 
 
 _apply_registration_order()
+
+# The PNG fixture must exist before the DuckDB oracle can read it, and the
+# driver's Spark-vs-oracle execution order is unspecified — materialize at
+# import (idempotent, atomic; ~5k tiny blobs, sub-second). The query
+# callable also ensures it, so a failure here only matters if the oracle
+# runs first.
+try:
+    from ..sources.fixtures import ensure_png_fixture as _ensure_png_fixture
+
+    _ensure_png_fixture()
+except Exception:  # pragma: no cover - degraded envs regenerate lazily
+    pass

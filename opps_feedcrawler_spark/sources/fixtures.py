@@ -1,0 +1,108 @@
+"""Deterministic binary-column fixtures shared by the Spark queries and
+the DuckDB oracle.
+
+The driver's correctness gate compares a Spark query against an ANSI-SQL
+oracle over the same tables. The testdata tables carry no binary column,
+so the multimodal PNG query materializes one here: a parquet of
+(doc_id, png) where the PNG bytes are a pure deterministic function of
+doc_id (dimensions and pixel payload below, encoded by the REAL
+encode_png — zlib deflate + CRC-32). Both engines then read the SAME
+bytes: Spark parses them with parse_png_meta (functions/multimodal.py)
+and the oracle parses them independently in SQL (octet_length + hex()
+big-endian field extraction) — no shared decode code, which is what
+makes the driver row non-circular.
+
+Generation is import-time, idempotent (exists-check) and atomic
+(tmp + os.replace), so the fixture exists before either engine runs
+regardless of which side the driver executes first. ~5k tiny PNGs,
+<1 s, a few MB. Derived only from doc_id ranges of the local testdata
+tables — no external data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+#: bump when the generative formula changes — the path IS the version
+PNG_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-png-fixture-v1.parquet"
+)
+
+_TESTDATA_ROOT = "/root/testdata"
+_FALLBACK_MAX_DOC_ID = 4999
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """Fixture dimensions: a pure function of doc_id, chosen to sweep a
+    range of non-square shapes (1..64 x 1..48)."""
+    return 1 + doc_id % 64, 1 + (doc_id * 7) % 48
+
+
+def png_payload(doc_id: int, n: int) -> bytes:
+    """Fixture pixel bytes: Knuth-hash mixed index stream — deterministic,
+    content varies per doc so compressed sizes differ."""
+    idx = np.arange(n, dtype=np.uint64)
+    return (
+        ((np.uint64(doc_id) * np.uint64(2654435761) + idx * np.uint64(40503)))
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def _max_doc_id() -> int:
+    """Largest doc_id across the local testdata scale factors (parquet
+    footer metadata only — no full scan); falls back to the known range
+    when testdata is absent (e.g. unit tests on a bare checkout)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    best = -1
+    for path in glob.glob(os.path.join(_TESTDATA_ROOT, "sf*", "documents.parquet")):
+        try:
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                if col.path_in_schema == "doc_id" and col.statistics is not None:
+                    best = max(best, int(col.statistics.max))
+        except Exception:
+            continue
+    return best if best >= 0 else _FALLBACK_MAX_DOC_ID
+
+
+def ensure_png_fixture() -> str:
+    """Create PNG_FIXTURE_PATH if missing; return the path. Safe under
+    concurrent callers (atomic rename; losers overwrite with identical
+    bytes — the content is deterministic)."""
+    if os.path.exists(PNG_FIXTURE_PATH):
+        return PNG_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_png
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w, h = png_dims(doc_id)
+        ids.append(doc_id)
+        blobs.append(encode_png(w, h, png_payload(doc_id, w * h)))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "png": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(PNG_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, PNG_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return PNG_FIXTURE_PATH

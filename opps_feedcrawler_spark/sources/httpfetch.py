@@ -37,6 +37,7 @@ FETCH_SCHEMA = "url_norm string, status int, bytes long, html binary"
 DEFAULT_TIMEOUT_S = 10.0
 DEFAULT_MAX_BYTES = 4 * 1024 * 1024  # cap a single body at 4 MiB
 DEFAULT_HOST_DELAY_S = 0.0  # politeness floor within a partition
+DEFAULT_CONCURRENCY = 16  # in-flight fetches per partition (I/O threads)
 USER_AGENT = "opps-feedcrawler-spark/2.0 (+crawler)"
 
 
@@ -66,47 +67,76 @@ def fetch_http(
     timeout_s: float = DEFAULT_TIMEOUT_S,
     max_bytes: int = DEFAULT_MAX_BYTES,
     host_delay_s: float = DEFAULT_HOST_DELAY_S,
+    concurrency: int = DEFAULT_CONCURRENCY,
 ) -> DataFrame:
     """scheduled(url_norm, host, ...) → (url_norm, status, bytes, html).
 
     One ``mapInPandas`` stage: the opener (connection pool) is built once
     per partition and streams every Arrow batch through it; html bytes are
     born executor-side and never shuffled (the caller's fused parse runs in
-    the next narrow stage, mirroring the corpus-join plan shape)."""
+    the next narrow stage, mirroring the corpus-join plan shape).
+
+    Fetches within a partition overlap on a bounded thread pool
+    (``concurrency`` in flight; urllib releases the GIL during socket I/O),
+    so partition wall-time is ~max(longest chain per host, serial/N) instead
+    of the sum of latencies — at ~200 ms real-network latency a 32-partition
+    stage moves from ~160 URLs/s to ~160·N, which is what lets the HTTP
+    stage keep up with the rest of the round at cluster scale. The per-host
+    politeness floor is preserved exactly: a per-host lock serializes each
+    host's start-time reservation, so consecutive starts against one host
+    stay ≥ ``host_delay_s`` apart no matter how many workers are idle
+    (hosts are independent — distinct hosts overlap freely, matching the
+    upstream salted-per-host schedule). Output row order within each Arrow
+    batch is preserved (``Executor.map``), keeping the stage deterministic
+    in everything but the fetched bytes themselves."""
     cols = [url_col] + (["host"] if "host" in scheduled.columns else [])
     src = scheduled.select(*cols)
 
     def _run(batches: Iterator) -> Iterator:
+        import threading
         import time
         import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
 
         import pandas as pd
 
         opener = urllib.request.build_opener()  # per-partition pool
+        meta_lock = threading.Lock()
+        host_locks: dict[str, threading.Lock] = {}
         last_hit: dict[str, float] = {}
-        for pdf in batches:
-            urls = pdf[url_col]
-            hosts = pdf["host"] if "host" in pdf.columns else urls
-            statuses, sizes, bodies = [], [], []
-            for url, host in zip(urls, hosts):
-                if host_delay_s > 0:
+
+        def _task(url: str, host: str):
+            if host_delay_s > 0:
+                with meta_lock:
+                    hlock = host_locks.setdefault(host, threading.Lock())
+                # reserve this host's next start slot; the lock covers the
+                # sleep so same-host starts serialize at the floor spacing
+                # while other hosts' workers keep running
+                with hlock:
                     prev = last_hit.get(host)
                     now = time.monotonic()
                     if prev is not None and now - prev < host_delay_s:
                         time.sleep(host_delay_s - (now - prev))
                     last_hit[host] = time.monotonic()
-                status, body = _fetch_one(opener, url, timeout_s, max_bytes)
-                statuses.append(status)
-                sizes.append(len(body))
-                bodies.append(body if body else None)
-            yield pd.DataFrame(
-                {
-                    "url_norm": urls.to_numpy(),
-                    "status": pd.array(statuses, dtype="int32"),
-                    "bytes": pd.array(sizes, dtype="int64"),
-                    "html": pd.Series(bodies, dtype=object),
-                }
-            )
+            return _fetch_one(opener, url, timeout_s, max_bytes)
+
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+            for pdf in batches:
+                urls = pdf[url_col]
+                hosts = pdf["host"] if "host" in pdf.columns else urls
+                statuses, sizes, bodies = [], [], []
+                for status, body in pool.map(_task, urls, hosts):
+                    statuses.append(status)
+                    sizes.append(len(body))
+                    bodies.append(body if body else None)
+                yield pd.DataFrame(
+                    {
+                        "url_norm": urls.to_numpy(),
+                        "status": pd.array(statuses, dtype="int32"),
+                        "bytes": pd.array(sizes, dtype="int64"),
+                        "html": pd.Series(bodies, dtype=object),
+                    }
+                )
 
     return src.mapInPandas(_run, FETCH_SCHEMA)
 

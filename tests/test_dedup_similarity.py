@@ -122,15 +122,21 @@ def test_ann_bruteforce_is_exact_baseline(spark):
 def test_multimodal_plumbing(spark):
     from opps_feedcrawler_spark.functions.multimodal import image_metadata
 
+    from opps_feedcrawler_spark.functions.multimodal import encode_png
+
+    png = encode_png(9, 4, b"\x42" * 36)
     df = spark.createDataFrame(
-        [("u1", b"\x89PNG1234abc"), ("u2", b"\xff\xd8rest"), ("u3", b"plain")],
+        [("u1", png), ("u2", b"\xff\xd8rest"), ("u3", b"plain")],
         "url string, blob binary",
     )
     rows = {r.url: r for r in image_metadata(df).collect()}
     assert rows["u1"].format == "png" and rows["u2"].format == "jpeg"
     assert rows["u3"].format == "unknown"
-    assert rows["u1"].n_bytes == 11
-    assert rows["u1"].width == 16 + 11 % 640
+    assert rows["u1"].n_bytes == len(png)
+    # PNG path is the REAL structural parse, not the stub formula
+    assert (rows["u1"].width, rows["u1"].height) == (9, 4)
+    # jpeg stays on the declared deterministic stub
+    assert rows["u2"].width == 16 + 6 % 640
 
     from opps_feedcrawler_spark.functions.multimodal import decode_image_pixels
 

@@ -35,6 +35,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(BIG)
         elif self.path == "/missing":
             self.send_error(404)
+        elif self.path.startswith("/slow/"):
+            import time as _t
+
+            _t.sleep(0.3)
+            body = b"slow body"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self.send_error(500)
 
@@ -123,3 +132,67 @@ def test_crawl_round_http_mode_end_to_end(spark, server):
     for u, t in texts.items():
         assert t.startswith("hello from /page/")
     out["cleanup"]()
+
+
+def test_fetch_http_overlaps_within_partition(spark, server):
+    """VERDICT r2 #2: bounded in-partition concurrency. 8 URLs that each
+    take >=0.3 s server-side, ONE partition: serial wall-time would be
+    >=2.4 s; with an 8-deep pool the partition finishes in ~max latency.
+    Assert < half of serial (generous vs scheduler jitter) — that alone
+    proves N-way in-flight overlap."""
+    import time
+
+    urls = [(f"{server}/slow/{i}", "127.0.0.1") for i in range(8)]
+    df = spark.createDataFrame(urls, "url_norm string, host string").coalesce(1)
+    t0 = time.monotonic()
+    rows = fetch_http(df, concurrency=8).collect()
+    wall = time.monotonic() - t0
+    assert len(rows) == 8 and all(r.status == 200 for r in rows)
+    assert wall < 1.2, f"no overlap: {wall:.2f}s for 8x0.3s serial-equivalent"
+
+
+def test_fetch_http_politeness_floor_under_concurrency(spark, server):
+    """Same-host starts must stay >= host_delay_s apart even with idle
+    workers: 5 same-host URLs, delay 0.25 s, pool of 8 -> wall-time must
+    be >= 4 gaps = 1.0 s, and the fetch output contract is unchanged."""
+    import time
+
+    urls = [(f"{server}/page/{i}", "127.0.0.1") for i in range(5)]
+    df = spark.createDataFrame(urls, "url_norm string, host string").coalesce(1)
+    t0 = time.monotonic()
+    rows = fetch_http(df, host_delay_s=0.25, concurrency=8).collect()
+    wall = time.monotonic() - t0
+    assert len(rows) == 5 and all(r.status == 200 for r in rows)
+    assert wall >= 1.0, f"politeness floor violated: {wall:.2f}s < 1.0s"
+
+
+def test_fetch_http_distinct_hosts_not_serialized_by_politeness(spark):
+    """Politeness locks are per-host: two distinct hosts with a large
+    delay floor overlap freely (each host fetched once -> no sleep at
+    all), so the stage must finish far below one delay period."""
+    import threading
+    import time
+    from http.server import ThreadingHTTPServer
+
+    # second loopback server = second 'host' (different port -> distinct
+    # host key since host col is what we group politeness by)
+    srv_a = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv_b = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    for srv in (srv_a, srv_b):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        urls = [
+            (f"http://127.0.0.1:{srv_a.server_address[1]}/slow/x", "host-a"),
+            (f"http://127.0.0.1:{srv_b.server_address[1]}/slow/y", "host-b"),
+        ]
+        df = spark.createDataFrame(
+            urls, "url_norm string, host string"
+        ).coalesce(1)
+        t0 = time.monotonic()
+        rows = fetch_http(df, host_delay_s=5.0, concurrency=4).collect()
+        wall = time.monotonic() - t0
+        assert len(rows) == 2 and all(r.status == 200 for r in rows)
+        assert wall < 2.5, f"distinct hosts serialized: {wall:.2f}s"
+    finally:
+        srv_a.shutdown()
+        srv_b.shutdown()
