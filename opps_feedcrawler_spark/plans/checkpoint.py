@@ -82,8 +82,14 @@ class SnapshotLog:
         round_no: int,
         manifests: dict[str, dict],
         metrics: dict[str, float],
+        timings: dict[str, float] | None = None,
     ) -> int:
-        """Atomically publish snapshot for round_no. Returns snapshot_id."""
+        """Atomically publish snapshot for round_no. Returns snapshot_id.
+
+        ``timings`` (per-phase wall seconds) is observability metadata like
+        committed_ts: stored under its own key, NEVER part of the
+        deterministic contract (resume equality compares ``metrics`` and
+        table fingerprints only — wall time is not reproducible)."""
         snapshot_id = round_no
         parent = self.latest_snapshot_id()
         doc = {
@@ -93,6 +99,7 @@ class SnapshotLog:
             "committed_ts": time.time(),  # metadata only — never in data path
             "tables": manifests,
             "metrics": metrics,
+            "timings": timings or {},
         }
         tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.snap_dir, f"snap-{snapshot_id:08d}.json")

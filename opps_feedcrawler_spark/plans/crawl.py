@@ -476,6 +476,7 @@ def run_crawl(
     pages_prepared: bool = False,
     compact_seen_every: int | None = None,
     fetch_mode: str = "corpus",
+    vacuum_keep: int | None = None,
 ) -> SnapshotLog:
     """Run (or resume) the crawl for `rounds` total rounds, one snapshot per
     round. Resume (A17): pass the same warehouse — the loop continues after
@@ -493,7 +494,11 @@ def run_crawl(
 
     fetch_mode selects the R6 stage: "corpus" broadcast-semi (default),
     "bucketed" (pass prepare_pages_bucketed's table as `pages` with
-    pages_prepared=True), or "http" (real network fetch)."""
+    pages_prepared=True), or "http" (real network fetch).
+
+    vacuum_keep=n prunes superseded engine-state tables down to the newest
+    n snapshots after every commit (SnapshotLog.vacuum_engine_state) —
+    lifecycle hygiene inside the loop, resume-transparent."""
     from concurrent.futures import ThreadPoolExecutor
 
     log = SnapshotLog(warehouse)
@@ -526,7 +531,7 @@ def run_crawl(
 
     debug = os.environ.get("OFS_CRAWL_DEBUG") == "1"
     for round_no in range(first, rounds):
-        _t0 = _time.monotonic()
+        _t0 = _round_start = _time.monotonic()
         out = crawl_round(
             spark, frontier, seen, bloom, prepared, robots, round_no,
             fetch_mode=fetch_mode,
@@ -538,9 +543,11 @@ def run_crawl(
         # sum(write): every sink, including the frontier (whose bloom probe
         # reads the cached bitsets), only consumes cached narrow rows.
         out["materialize"]()
+        timings: dict[str, float] = {}
+        timings["materialize_sec"] = round(_time.monotonic() - _t0, 3)
         if debug:
-            print(f"[crawl r{round_no}] materialize {_time.monotonic() - _t0:.1f}s")
-            _t0 = _time.monotonic()
+            print(f"[crawl r{round_no}] materialize {timings['materialize_sec']:.1f}s")
+        _t0 = _time.monotonic()
         frontier_df = out["build_frontier"](out["bloom"])
         with ThreadPoolExecutor(max_workers=len(ROUND_TABLES)) as pool:
             futs = {
@@ -553,12 +560,14 @@ def run_crawl(
                 for name in ROUND_TABLES
             }
             manifests = {name: f.result() for name, f in futs.items()}
+        timings["writes_sec"] = round(_time.monotonic() - _t0, 3)
         if debug:
-            print(f"[crawl r{round_no}] writes {_time.monotonic() - _t0:.1f}s")
-            _t0 = _time.monotonic()
+            print(f"[crawl r{round_no}] writes {timings['writes_sec']:.1f}s")
+        _t0 = _time.monotonic()
         out["cleanup"]()
+        timings["cleanup_sec"] = round(_time.monotonic() - _t0, 3)
         if debug:
-            print(f"[crawl r{round_no}] frontier {_time.monotonic() - _t0:.1f}s")
+            print(f"[crawl r{round_no}] frontier {timings['cleanup_sec']:.1f}s")
         # A18 per-round metrics from Parquet footers (no Spark jobs).
         m: dict[str, float] = {
             f"{name}_rows": manifests[name]["rows"] for name in ROUND_TABLES
@@ -568,13 +577,21 @@ def run_crawl(
         m["fetched_ok"] = log.count_where(
             manifests["fetch_log"]["path"], "status", 200
         )
-        log.commit(round_no, manifests, m)
+        timings["round_sec"] = round(_time.monotonic() - _round_start, 3)
+        log.commit(round_no, manifests, m, timings=timings)
         if (
             compact_seen_every
             and round_no > 0
             and (round_no + 1) % compact_seen_every == 0
         ):
             log.compact_seen(spark, round_no)
+        if vacuum_keep is not None:
+            # lifecycle-in-the-loop (long-crawl hygiene): superseded
+            # frontier/bloom/schedule data is pruned as the crawl runs, so
+            # warehouse size and per-round cost stay flat over thousands of
+            # rounds. Resume-transparent: only the latest snapshot's engine
+            # state is ever read back (tests/test_resume.py).
+            log.vacuum_engine_state(keep_last=vacuum_keep)
         # Next round reads from the committed snapshot (the materialization
         # barrier that makes every round a pure function of the previous
         # snapshot — no recomputation drift, no lineage blowup).

@@ -37,8 +37,9 @@ def main() -> None:
     ap.add_argument("--compact-seen-every", type=int, default=None,
                     help="fold seen deltas into a base every N rounds")
     ap.add_argument("--vacuum-keep", type=int, default=None,
-                    help="after the run, delete superseded engine-state "
-                         "tables for all but the newest N snapshots")
+                    help="after every committed round, delete superseded "
+                         "engine-state tables for all but the newest N "
+                         "snapshots (in-loop lifecycle hygiene)")
     args = ap.parse_args()
 
     # imports AFTER arg parsing so --help works without the zip on sys.path
@@ -65,9 +66,8 @@ def main() -> None:
         rounds=args.rounds, pages_prepared=args.prepared,
         compact_seen_every=args.compact_seen_every,
         fetch_mode=args.fetch_mode,
+        vacuum_keep=args.vacuum_keep,  # in-loop lifecycle, per-round
     )
-    if args.vacuum_keep is not None:
-        log.vacuum_engine_state(keep_last=args.vacuum_keep)
     # --rounds 0 (or a fresh warehouse where no round committed) is a
     # legitimate no-op run: report the empty state instead of crashing on
     # read_snapshot(None).

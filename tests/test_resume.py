@@ -154,3 +154,41 @@ def test_compact_every_in_engine_loop(spark, corpus_dfs, tmp_path):
         for name in ROUND_TABLES:
             assert _table_fingerprint(spark, log_a, r, name) == \
                 _table_fingerprint(spark, log_b, r, name), (r, name)
+
+
+def test_vacuum_keep_in_engine_loop(spark, corpus_dfs, tmp_path):
+    """run_crawl(vacuum_keep=1) prunes superseded engine state after every
+    committed round INSIDE the loop, and is fully output-transparent:
+    product tables + final frontier/seen identical to a lifecycle-off run,
+    only the latest round's engine state remains on disk."""
+    from opps_feedcrawler_spark.plans.crawl import ROUND_TABLES
+
+    pages, seeds, robots = corpus_dfs
+    wh_a = str(tmp_path / "a")
+    wh_v = str(tmp_path / "v")
+    log_a = run_crawl(spark, pages, seeds, robots, wh_a, rounds=ROUNDS)
+    log_v = run_crawl(
+        spark, pages, seeds, robots, wh_v, rounds=ROUNDS,
+        compact_seen_every=2, vacuum_keep=1,
+    )
+    last = ROUNDS - 1
+    # product tables identical for EVERY round (never vacuumed)
+    for r in range(ROUNDS):
+        for name in ("text", "entries", "fetch_log", "seen_delta"):
+            assert _table_fingerprint(spark, log_a, r, name) == \
+                _table_fingerprint(spark, log_v, r, name), (r, name)
+    # latest engine state identical (what a resume would read)
+    for name in ROUND_TABLES:
+        assert _table_fingerprint(spark, log_a, last, name) == \
+            _table_fingerprint(spark, log_v, last, name), name
+    # older engine state actually pruned
+    import pytest
+
+    with pytest.raises(KeyError):
+        log_v.load_table(spark, 0, "frontier")
+    assert log_v.read_snapshot(0)["expired_tables"]
+    # and a further resume continues cleanly on the vacuumed warehouse
+    log_v2 = run_crawl(
+        spark, pages, seeds, robots, wh_v, rounds=ROUNDS + 1, vacuum_keep=1
+    )
+    assert log_v2.latest_snapshot_id() == ROUNDS
