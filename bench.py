@@ -224,6 +224,77 @@ def query_bench(cores: int) -> dict:
     return out
 
 
+def ann_scale_bench(cores: int) -> dict:
+    """ANN at scale (VERDICT r2 #6): seeded ~1M-vector clustered corpus,
+    recall@k + wall-time + admitted-candidate counts for LSH and IVF vs
+    the exact distributed brute-force baseline, ground truth from an
+    independent driver-side blocked-numpy pass. Corpus is generated
+    distributed + parquet-cached; re-runs skip generation."""
+    from opps_feedcrawler_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        kmeans_centroids,
+    )
+    from opps_feedcrawler_spark.sources.ann_synth import (
+        ann_queries,
+        ensure_ann_corpus,
+        ground_truth_topk,
+        recall_at_k,
+    )
+
+    n = int(os.environ.get("OFS_ANN_N", "1000000"))
+    dim = int(os.environ.get("OFS_ANN_DIM", "32"))
+    n_q = int(os.environ.get("OFS_ANN_Q", "100"))
+    k = int(os.environ.get("OFS_ANN_K", "10"))
+    n_cells = int(os.environ.get("OFS_ANN_CELLS", "256"))
+    n_probe = int(os.environ.get("OFS_ANN_PROBE", "8"))
+
+    spark = _spark(cores)
+    path = ensure_ann_corpus(spark, n, dim)
+    corpus = spark.read.parquet(path)
+    queries = ann_queries(spark, n, n_q, dim)
+    qpdf = queries.toPandas()
+    truth = ground_truth_topk(path, qpdf, k)
+
+    out: dict = {"n_corpus": n, "dim": dim, "n_queries": n_q, "k": k,
+                 "ivf_cells": n_cells, "ivf_probe": n_probe}
+    # centroid training is a build-once index cost, amortized across query
+    # batches in production — time it separately, pass it in precomputed
+    t0 = time.monotonic()
+    cents = kmeans_centroids(corpus, n_cells)
+    cents = cents.cache()
+    cents.count()
+    out["sec_ivf_train"] = round(time.monotonic() - t0, 2)
+
+    runs = {
+        "brute": lambda: ann_bruteforce_topk(queries, corpus, k=k),
+        "lsh": lambda: ann_lsh_topk(queries, corpus, k=k),
+        "ivf": lambda: ann_ivf_topk(
+            queries, corpus, k=k, n_cells=n_cells, n_probe=n_probe,
+            centroids=cents,
+        ),
+    }
+    for name, build in runs.items():
+        t0 = time.monotonic()
+        df = build()
+        pdf = df.toPandas()
+        out[f"sec_{name}"] = round(time.monotonic() - t0, 2)
+        out[f"recall_{name}"] = round(recall_at_k(pdf, truth, k), 4)
+        cand = getattr(df, "ofs_candidates", None)
+        out[f"candidates_{name}"] = (
+            int(cand.count()) if cand is not None else n_q * (n - 1)
+        )
+    out["candidate_fraction_lsh"] = round(
+        out["candidates_lsh"] / out["candidates_brute"], 5
+    )
+    out["candidate_fraction_ivf"] = round(
+        out["candidates_ivf"] / out["candidates_brute"], 5
+    )
+    cents.unpersist()
+    return out
+
+
 def _burn_cpu(_) -> int:
     """3s busy loop — module-level so multiprocessing can pickle it."""
     t0 = time.time()
@@ -253,11 +324,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--ann-only", action="store_true")
     ap.add_argument("--cores", type=int, default=DEFAULT_CORES)
     args = ap.parse_args()
 
     if args.crawl_only:
         print(json.dumps(crawl_bench(args.cores)))
+        return
+
+    if args.ann_only:
+        print(json.dumps(ann_scale_bench(args.cores)))
         return
 
     if args.scaling:
@@ -399,6 +475,7 @@ def main() -> None:
 
     crawl = crawl_bench(args.cores)
     queries = query_bench(args.cores)
+    ann = ann_scale_bench(args.cores)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -410,6 +487,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": float(sf),
                 "crawl": crawl,
+                "ann_scale": ann,
             }
         )
     )

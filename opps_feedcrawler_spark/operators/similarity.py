@@ -187,24 +187,26 @@ def ann_ivf_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     assigned = nearest_cells(c, "neighbor_id", "nv", 1)
     probes = nearest_cells(q, "query_id", "qv", n_probe)
-    scored = (
-        assigned.join(probes, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cos"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    candidates = assigned.join(probes, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+    # candidate stage exposed for probe-cost instrumentation (bench):
+    # count() of this DF = exact cosine evaluations the index admitted
+    out.ofs_candidates = candidates  # type: ignore[attr-defined]
+    return out
 
 
 def ann_lsh_topk(
@@ -241,21 +243,21 @@ def ann_lsh_topk(
             )
         ).alias("bucket"),
     )
-    scored = (
-        c.join(probes, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cos"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    candidates = c.join(probes, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+    out.ofs_candidates = candidates  # type: ignore[attr-defined]  # see ivf
+    return out

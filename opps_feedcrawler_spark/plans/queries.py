@@ -2201,6 +2201,89 @@ def scalar_subquery_above_avg(spark, sf_dir):
     )
 
 
+_BFS_MAX_HOPS = 6
+_BFS_SEED_MOD = 97
+
+
+@_q(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id + n_chars) % (SELECT COUNT(*) FROM documents) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             (doc_id * 7 + n_chars) % (SELECT COUNT(*) FROM documents)
+      FROM documents
+    ),
+    bfs AS (
+      SELECT doc_id AS node, 0 AS hop
+      FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.dst, bfs.hop + 1
+      FROM bfs JOIN edges e ON e.src = bfs.node
+      WHERE bfs.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(MIN(hop) AS INT) AS hop
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Iterative distributed BFS (min-hop from a seed set, 6 hops)
+    over a deterministic synthetic link graph derived from document
+    attributes (each doc links to (doc_id + n_chars) % n and
+    (doc_id*7 + n_chars) % n — both engines derive the same edges from the
+    same data). The classic Pregel-style frontier loop expressed in pure
+    DataFrame ops: per iteration, expand the frontier through the edge
+    join, anti-join out already-visited nodes, union into the distance
+    set. Oracle: DuckDB recursive CTE — the driver cross-checks an
+    ITERATIVE algorithm, not just single-pass SQL.
+
+    Scale design: edges are hash-partitioned by src ONCE and persisted, so
+    every iteration's expand join reuses that layout and only the (small)
+    frontier shuffles; visited/dist stay (node, hop) narrow. At web scale
+    you add localCheckpoint every few hops to cut lineage — 6 bounded
+    iterations here keep plans small without it."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cnt = docs.count()  # scalar graph parameter, same value the oracle uses
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + F.col("n_chars")) % cnt).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + F.col("n_chars")) % cnt).alias("dst"),
+            )
+        )
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        docs.filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
+        .select(F.col("doc_id").alias("node"), F.lit(0).alias("hop"))
+    )
+    frontier = dist
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        frontier = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")).distinct(), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .persist()
+        )
+        dist = dist.unionByName(frontier)
+    return dist.groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("hop").cast("int").alias("hop")
+    )
+
+
 @_q("ann_ivf_topk")  # rows-only: approximate by construction
 def ann_ivf(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
@@ -2384,6 +2467,7 @@ _FRONT_ORDER = [
     # round-2 additions that sat outside the round-2 50-slot window
     # (VERDICT r2 "Next round" #1) — never driver-checked, all
     # oracle-paired, so they lead
+    "graph_bfs_hops",
     "window_percent_cume",
     "window_last_ignore_nulls",
     "unpivot_lineitem_metrics",
