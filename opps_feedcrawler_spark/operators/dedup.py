@@ -136,63 +136,61 @@ def jaccard_for_pairs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    ws: DataFrame | None = None,
+    words_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard computed ONLY for the given (id_a, id_b)
-    candidate pairs. Word sets are first semi-joined down to the ids that
-    appear in `pairs`, and the intersection join is driven by the pair
-    list, so total work is O(Σ shared words over candidate pairs) — the
-    candidate generator bounds the cost, never an all-pairs word self-join.
-    EVERY requested pair comes back exactly once: pairs sharing no words
-    — including pairs whose endpoint has an empty word set — get
-    jaccard 0 (left joins + zero-denominator guard). Output: id_a, id_b,
-    jaccard.
+    candidate pairs: join each pair to its two (id, words) arrays and
+    intersect JVM-side (array_intersect is a per-row hash-set pass —
+    O(|wa| + |wb|) per candidate pair, whole-stage codegen, and the only
+    shuffles are the two id-keyed joins; AQE broadcasts the small pair
+    side). This replaced an exploded (id, word)-row formulation whose
+    semi-join/size/intersect-groupBy chain cost ~6 shuffle stages —
+    per-pair array intersection moves less data at every scale because
+    word rows never shuffle, and the pair count is candidate-gated by
+    construction. EVERY requested pair comes back exactly once: pairs
+    sharing no words — including pairs whose endpoint has an empty or
+    missing word set — get jaccard 0 (left joins + zero-denominator
+    guard). Output: id_a, id_b, jaccard.
 
-    Pass `ws` (an (id, word) DataFrame shaped like `word_sets`'s output) to
-    reuse an already-materialized word view instead of re-deriving it from
-    `docs` — minhash_lsh_pairs does this so the text normalize/split runs
-    once for signatures AND verify (the round-2 toy-scale regression)."""
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
+    Pass `words_arr` (an (id, words array<string>) DataFrame) to reuse an
+    already-materialized word view instead of re-deriving it from `docs`
+    — minhash_lsh_pairs does this so the text normalize/split runs once
+    for signatures AND verify (the round-2 toy-scale regression)."""
+    if words_arr is None:
+        words_arr = docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.split(F.lower(normalize_ws(F.col(text_col))), " ")
+            ).alias("words"),
+        )
+    wa = words_arr.select(
+        "id",
+        F.array_remove(
+            F.expr("coalesce(words, cast(array() as array<string>))"), ""
+        ).alias("w"),
     )
-    if ws is None:
-        ws = word_sets(docs, id_col, text_col)
-    ws = ws.join(ids, "id", "left_semi")
-    sizes = ws.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        pairs.join(ws.withColumnRenamed("id", "id_a"), "id_a")
-        .join(ws.select(F.col("id").alias("id_b"), "word"), ["id_b", "word"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    inter_c = F.coalesce(F.col("inter"), F.lit(0))
-    denom = (
-        F.coalesce(F.col("sz_a"), F.lit(0))
-        + F.coalesce(F.col("sz_b"), F.lit(0))
-        - inter_c
-    )
-    return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+    joined = (
+        pairs.join(
+            wa.select(F.col("id").alias("id_a"), F.col("w").alias("wa")),
             "id_a",
             "left",
         )
         .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            wa.select(F.col("id").alias("id_b"), F.col("w").alias("wb")),
             "id_b",
             "left",
         )
-        .withColumn(
-            "jaccard",
-            F.when(
-                denom > 0, inter_c.cast("double") / denom.cast("double")
-            ).otherwise(F.lit(0.0)),
-        )
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("wa", F.expr("coalesce(wa, cast(array() as array<string>))"))
+        .withColumn("wb", F.expr("coalesce(wb, cast(array() as array<string>))"))
     )
+    inter_c = F.size(F.array_intersect("wa", "wb"))
+    denom = F.size("wa") + F.size("wb") - inter_c
+    return joined.withColumn(
+        "jaccard",
+        F.when(
+            denom > 0, inter_c.cast("double") / denom.cast("double")
+        ).otherwise(F.lit(0.0)),
+    ).select("id_a", "id_b", "jaccard")
 
 
 @pandas_udf(ArrayType(LongType()))
@@ -280,23 +278,35 @@ def minhash_lsh_pairs(
         Window.partitionBy("band", "band_hash").orderBy("id")
     )
     bands = bands.withColumn("_rn", w).filter(F.col("_rn") <= max_bucket).drop("_rn")
+    # pair expansion: collect the (capped, ≤max_bucket) bucket membership
+    # and emit id<id pairs JVM-side with array HOFs — the groupBy reuses
+    # the window's (band, band_hash) hash partitioning (no new exchange),
+    # and this replaces the earlier bucket self-join, which recomputed the
+    # whole sig→band subtree once per join side and cost two more
+    # exchanges. collect_list is safe ONLY because the cap runs first.
+    buckets = bands.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_hash"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a as id_a, b as id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify is CANDIDATE-GATED: exact Jaccard is computed only for the
     # LSH candidate pairs, never all-pairs — the pair count (and so the
-    # verify cost) stays bounded by the banding + bucket cap above. The
-    # verify's word_sets view is derived from the SAME cached arrays the
-    # signatures used (word_sets == explode(words) minus empty strings).
-    ws = words_arr.select("id", F.explode("words").alias("word")).filter(
-        F.length("word") > 0
-    )
+    # verify cost) stays bounded by the banding + bucket cap above, and
+    # the verify joins read the SAME cached word arrays the signatures
+    # used (per-pair array_intersect, no word-row shuffle).
     out = (
-        jaccard_for_pairs(None, cand, id_col, text_col, ws=ws)
+        jaccard_for_pairs(None, cand, id_col, text_col, words_arr=words_arr)
         .withColumnRenamed("jaccard", "jaccard_exact")
         .filter(F.col("jaccard_exact") >= threshold)
         .select("id_a", "id_b", "jaccard_exact")
@@ -365,16 +375,25 @@ def simhash_pairs(
     quarters = (
         quarters.withColumn("_rn", wq).filter(F.col("_rn") <= max_bucket).drop("_rn")
     )
+    # capped-bucket pair expansion JVM-side (see minhash_lsh_pairs: the
+    # groupBy reuses the window's partitioning and replaces the bucket
+    # self-join's double subtree recompute; safe because the cap bounds
+    # every collected bucket at max_bucket members)
+    buckets = quarters.groupBy("q", "qval").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("m")
+    )
     cand = (
-        quarters.alias("x")
-        .join(quarters.alias("y"), ["q", "qval"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (a, i) -> "
+                    "transform(slice(m, i + 2, size(m)), "
+                    "b -> struct(a.id as id_a, b.id as id_b, "
+                    "a.sig as sig_a, b.sig as sig_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from .dedup import cosine_expr
 
@@ -135,6 +135,69 @@ def kmeans_centroids(
     )
 
 
+def _cell_topn_udf(cents_mat: np.ndarray, cell_ids: np.ndarray, n: int):
+    """pandas_udf: embedding -> the `n` nearest cell ids (cosine, ties by
+    centroid order = cell asc). The centroid matrix rides the UDF closure
+    (n_cells × dim floats — KBs), so assignment is a map-side vectorized
+    matmul with NO row explosion and NO shuffle: the previous
+    join-all-centroids + window formulation materialized |side| × n_cells
+    rows and cost MORE than brute force at 1M × 256 (measured,
+    BENCH/ann_r3.json predecessor run: ivf 244 s vs brute 134 s)."""
+    cm = cents_mat / np.linalg.norm(cents_mat, axis=1, keepdims=True)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def topn(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms) @ cm.T, 6)
+        take = min(n, sims.shape[1])
+        # stable argsort on -sims: ties break by centroid position, which
+        # _collect_centroids orders cell-asc — same tie rule the old
+        # window (ccos desc, cell asc) used
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        return pd.Series(list(cell_ids[order]))
+
+    return topn
+
+
+def _collect_centroids(cents: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(cell_ids, matrix) in cell-asc order; bounded collect (n_cells rows)."""
+    rows = cents.orderBy(F.col("cell").asc()).collect()
+    if not rows:
+        return np.array([], dtype=np.int32), np.zeros((0, 1))
+    return (
+        np.array([r.cell for r in rows], dtype=np.int32),
+        np.array([list(r.cv) for r in rows], dtype=np.float64),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the inverted file: (cell, neighbor_id, nv) — each corpus vector
+    tagged with its nearest centroid via the map-side argmax UDF. In
+    production this is a materialized index table, built once per corpus
+    snapshot and reused across query batches (bench times it as build cost,
+    not query cost)."""
+    cell_ids, cents_mat = _collect_centroids(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    if len(cell_ids) == 0:
+        return c.withColumn("cell", F.lit(None).cast("int")).filter(
+            F.col("cell").isNotNull()
+        )
+    return c.withColumn(
+        "cell", _cell_topn_udf(cents_mat, cell_ids, 1)(F.col("nv"))[0]
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -144,14 +207,17 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style coarse-quantized ANN: the scale path for big corpora.
 
     1. Centroids = seeded spherical k-means over a bounded hash-drawn
        sample (kmeans_centroids above); callers may pass precomputed
        `centroids` (cell, cv) to amortize training across queries.
-    2. Assign every corpus vector to its nearest centroid (broadcast the
-       centroids, exact cosine, rank-1) — the "inverted file" cell id.
+    2. Assign every corpus vector to its nearest centroid — map-side
+       vectorized argmax over the closure-shipped centroid matrix
+       (`ivf_assign`); callers may pass the materialized `assigned`
+       inverted file to amortize the build across query batches.
     3. Queries probe their n_probe nearest cells; candidates are only the
        vectors in probed cells; exact cosine re-rank within them.
 
@@ -164,29 +230,19 @@ def ann_ivf_topk(
         if centroids is not None
         else kmeans_centroids(corpus, n_cells, id_col, vec_col)
     )
-
-    def nearest_cells(side: DataFrame, out_id: str, vout: str, n: int) -> DataFrame:
-        scored = side.join(F.broadcast(cents)).select(
-            F.col(out_id),
-            F.col(vout),
-            "cell",
-            F.round(cosine_expr(F.col(vout), F.col("cv")), 6).alias("ccos"),
-        )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("ccos").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .drop("ccos", "crank")
-        )
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    )
+    cell_ids, cents_mat = _collect_centroids(cents)
+    if assigned is None:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    assigned = nearest_cells(c, "neighbor_id", "nv", 1)
-    probes = nearest_cells(q, "query_id", "qv", n_probe)
+    if len(cell_ids) == 0:
+        probes = q.withColumn("cell", F.lit(None).cast("int")).filter(
+            F.col("cell").isNotNull()
+        )
+    else:
+        probes = q.withColumn(
+            "cells",
+            _cell_topn_udf(cents_mat, cell_ids, n_probe)(F.col("qv")),
+        ).select("query_id", "qv", F.explode("cells").alias("cell"))
     candidates = assigned.join(probes, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -2284,6 +2284,255 @@ def graph_bfs_hops(spark, sf_dir):
     )
 
 
+@_q(
+    "split_train_test_stratified",
+    """
+    SELECT lang,
+           CASE WHEN ((doc_id % 1048573) * 2654435761 + 12345)
+                     % 4294967296 % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang, split
+    """,
+)
+def split_train_test_stratified(spark, sf_dir):
+    """Deterministic stratified train/test split (80/20 within each lang
+    stratum) — the reproducible-split primitive every training pipeline
+    needs: membership is a pure function of the row key, so the split is
+    stable across runs, partitionings, and engines (no sampling state).
+    The hash here is a Knuth multiplicative hash in plain int64 arithmetic
+    so the DuckDB oracle computes the identical split; production would
+    use xxhash64(doc_id) with the same modulo-bucket shape.
+
+    Scale design: split assignment is map-side arithmetic (no shuffle);
+    the only shuffle is the final (lang, split) aggregate — 2×|langs|
+    groups. Filtering to one split stays a pushed-down predicate."""
+    docs = T(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % 1048573) * F.lit(2654435761) + 12345) % F.lit(
+        4294967296
+    ) % 100
+    return (
+        docs.withColumn(
+            "split", F.when(h < 80, F.lit("train")).otherwise(F.lit("test"))
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_PR_MASS = 1_000_000
+_PR_ITERS = 3
+
+
+def _pr_edges_sql(cnt_expr: str) -> str:
+    return f"""
+    SELECT doc_id AS src, (doc_id + n_chars) % {cnt_expr} AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + n_chars) % {cnt_expr} FROM documents
+    """
+
+
+@_q(
+    "pagerank_mass_3iter",
+    f"""
+    WITH edges AS ({_pr_edges_sql('(SELECT COUNT(*) FROM documents)')}),
+    r0 AS (SELECT doc_id AS node, CAST({_PR_MASS} AS BIGINT) AS mass
+           FROM documents),
+    r1 AS (SELECT d.doc_id AS node,
+                  150000 + COALESCE(SUM((p.mass * 85) // 200), 0) AS mass
+           FROM documents d
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN r0 p ON p.node = e.src
+           GROUP BY d.doc_id),
+    r2 AS (SELECT d.doc_id AS node,
+                  150000 + COALESCE(SUM((p.mass * 85) // 200), 0) AS mass
+           FROM documents d
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN r1 p ON p.node = e.src
+           GROUP BY d.doc_id),
+    r3 AS (SELECT d.doc_id AS node,
+                  150000 + COALESCE(SUM((p.mass * 85) // 200), 0) AS mass
+           FROM documents d
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN r2 p ON p.node = e.src
+           GROUP BY d.doc_id)
+    SELECT node AS doc_id, CAST(mass AS BIGINT) AS mass FROM r3
+    """,
+)
+def pagerank_mass_3iter(spark, sf_dir):
+    """PageRank, 3 synchronous iterations, damping 0.85, over the same
+    deterministic synthetic link graph as graph_bfs_hops — the second
+    iterative-algorithm surface, oracle-paired. All arithmetic is INTEGER
+    "mass" (start 1e6 per node; each edge carries floor(mass*85/200) —
+    out-degree is exactly 2 — plus a 150000 teleport constant), so
+    per-edge contributions and their sums are exact and order-independent
+    in both engines: float PageRank would never hash-match across
+    engines; integer mass does, bit for bit.
+
+    Scale design: the per-iteration plan is edges⋈mass (hash join on
+    src, edges pre-partitioned+persisted once) then a groupBy(dst) SUM —
+    partial aggregation map-side, one shuffle per iteration, mass stays
+    a narrow (node, long) table. This is Pregel-on-DataFrames; at 100 TB
+    you checkpoint mass every few iterations to cut lineage."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cnt = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + F.col("n_chars")) % cnt).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + F.col("n_chars")) % cnt).alias("dst"),
+            )
+        )
+        .repartition("src")
+        .persist()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    mass = nodes.withColumn("mass", F.lit(_PR_MASS).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(mass, edges["src"] == mass["node"])
+            .select("dst", F.expr("(mass * 85) div 200").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        mass = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(150000) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("bigint")
+                .alias("mass"),
+            )
+        )
+    return mass.select(F.col("node").alias("doc_id"), "mass")
+
+
+_PACK_BUDGET = 16384
+
+
+@_q(
+    "pack_doc_chunks",
+    f"""
+    WITH prefixed AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prefix
+      FROM documents)
+    SELECT source,
+           CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS pack_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM prefixed
+    GROUP BY source, pack_id
+    """,
+)
+def pack_doc_chunks(spark, sf_dir):
+    """Sequence packing for training: concatenate documents (in doc_id
+    order, within each source shard) into fixed-budget chunks of
+    ~16 KiB of text — the operation that turns a document table into
+    packed training sequences. Chunk assignment is prefix-sum div
+    budget (a doc whose prefix crosses the boundary starts the next
+    chunk's range; chunks can overflow by less than one doc — the
+    standard contiguous-packing approximation; true first-fit bin
+    packing is order-sensitive and not SQL-expressible).
+
+    Scale design: the running sum is windowed PER SOURCE SHARD (never a
+    global single-partition window) — shards pack in parallel, which is
+    also how production packs: within input shards, not across them."""
+    docs = T(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixed = docs.withColumn(
+        "prefix", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    )
+    return (
+        prefixed.withColumn(
+            "pack_id", F.expr(f"prefix div {_PACK_BUDGET}").cast("bigint")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("pack_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_MIX_HEAD = 200
+
+
+@_q(
+    "mix_sources_interleave",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS src_n
+      FROM documents),
+    keyed AS (
+      SELECT source, doc_id, (rn * 1000000) // src_n AS mix_key
+      FROM ranked),
+    top AS (
+      SELECT source, mix_key,
+             ROW_NUMBER() OVER (ORDER BY mix_key, source, doc_id) AS pos
+      FROM keyed)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_in_head,
+           CAST(MIN(mix_key) AS BIGINT) AS first_key,
+           CAST(MAX(mix_key) AS BIGINT) AS last_key
+    FROM top WHERE pos <= {_MIX_HEAD}
+    GROUP BY source
+    """,
+)
+def mix_sources_interleave(spark, sf_dir):
+    """Corpus mixing: interleave per-source document streams into one
+    training order so every source is consumed proportionally (each
+    source's rank rn maps to mix_key = rn*1e6 div |source| ∈ [0, 1e6] —
+    all sources finish together; integer arithmetic so both engines
+    agree exactly). The check inspects the head of the mixed order:
+    docs per source among the first 200 global positions.
+
+    Scale design: per-source ranks are parallel windows (partitioned by
+    source); the global head is orderBy(...).limit(n) — Spark's
+    distributed TakeOrdered, NOT a single-partition global window. The
+    full mixed order at scale uses the same two-phase range-partitioned
+    rank as the crawl scheduler (operators/politeness.py)."""
+    docs = T(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wsrc).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("src_n"),
+    )
+    keyed = ranked.withColumn(
+        "mix_key", F.expr("(rn * 1000000) div src_n").cast("bigint")
+    )
+    head = keyed.orderBy("mix_key", "source", "doc_id").limit(_MIX_HEAD)
+    return head.groupBy("source").agg(
+        F.count("*").alias("n_in_head"),
+        F.min("mix_key").cast("bigint").alias("first_key"),
+        F.max("mix_key").cast("bigint").alias("last_key"),
+    )
+
+
 @_q("ann_ivf_topk")  # rows-only: approximate by construction
 def ann_ivf(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
@@ -2468,6 +2717,10 @@ _FRONT_ORDER = [
     # (VERDICT r2 "Next round" #1) — never driver-checked, all
     # oracle-paired, so they lead
     "graph_bfs_hops",
+    "split_train_test_stratified",
+    "pagerank_mass_3iter",
+    "pack_doc_chunks",
+    "mix_sources_interleave",
     "window_percent_cume",
     "window_last_ignore_nulls",
     "unpivot_lineitem_metrics",

@@ -52,16 +52,20 @@ def test_minhash_lsh_recall(spark, planted_docs):
 
 def test_minhash_verify_candidate_gated(spark, planted_docs):
     """The exact-Jaccard verify must be driven by the LSH candidate list
-    (word sets semi-joined down to candidate ids), never an ungated
-    all-pairs word self-join — the 100 TB scale contract of the module
-    docstring."""
+    (per-pair array_intersect on the pair-joined word arrays), never an
+    ungated all-pairs word self-join — the 100 TB scale contract of the
+    module docstring."""
     plan = (
         dedup.minhash_lsh_pairs(planted_docs, threshold=0.8)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
     )
-    assert "LeftSemi" in plan  # word_sets gated to candidate ids
+    # verify intersects per candidate pair, JVM-side
+    assert "array_intersect" in plan
+    # and the verify subtree never explodes word rows (the exploded
+    # formulation shuffled a row per word; pair-driven joins must not)
+    assert "explode(words" not in plan
 
     # behavioral check of jaccard_for_pairs itself: only requested pairs
     # come back, disjoint pairs score 0
