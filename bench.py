@@ -75,9 +75,12 @@ HEADLINE_QUERIES = [
     # round-3 additions: iterative graph + training-set assembly planes
     "graph_bfs_hops",
     "pagerank_mass_3iter",
+    "connected_components_3iter",
     "split_train_test_stratified",
     "pack_doc_chunks",
     "mix_sources_interleave",
+    "sample_stratified_fixed",
+    "multimodal_audio_meta",
     "dedup_simhash",
 ]
 

@@ -11,10 +11,14 @@ partition-preserving mapInPandas. Codec status per format:
   (grayscale-8, zlib-deflated filtered scanlines) used by tests and the
   driver fixture. No image library needed — width/height/bit-depth are
   plain big-endian bytes at fixed offsets (PNG spec, RFC 2083 §4.1.1).
-- **JPEG / audio / video: declared stubs.** The container has no
-  libjpeg/ffmpeg; ``decode_image_meta`` falls back to deterministic fake
-  metadata for them and ``decode_image_pixels`` raises
-  NotImplementedError where a real deploy would call PIL/libvips.
+- **WAV: REAL.** ``parse_wav_meta`` is a stdlib-only RIFF/WAVE chunk
+  walker (RIFF+WAVE magic, fmt/data chunk scan, little-endian field
+  extraction per the canonical WAVE format) and ``encode_wav`` a minimal
+  spec-valid PCM encoder used by tests and the driver fixture.
+- **JPEG / mp3 / video: declared stubs.** The container has no
+  libjpeg/ffmpeg; ``decode_image_meta``/``decode_audio_meta`` fall back
+  to deterministic fake metadata for them and ``decode_image_pixels``
+  raises NotImplementedError where a real deploy would call PIL/libvips.
   Swapping a stub for a real decoder changes ONE pure function; the
   distributed plan is already correct.
 
@@ -155,16 +159,84 @@ AUDIO_META_SCHEMA = (
 )
 
 
+def encode_wav(
+    sample_rate: int, n_channels: int, payload: bytes, bits: int = 16
+) -> bytes:
+    """REAL minimal RIFF/WAVE PCM encoder (stdlib only): canonical 44-byte
+    header (RIFF size, 'WAVE', 16-byte fmt chunk with PCM tag, data
+    chunk) followed by the sample payload (truncated to whole frames).
+    Spec-valid, independently readable by any WAV reader (e.g. the
+    stdlib `wave` module)."""
+    if sample_rate <= 0 or n_channels <= 0 or bits % 8:
+        raise ValueError("invalid WAV parameters")
+    block_align = n_channels * bits // 8
+    data = payload[: (len(payload) // block_align) * block_align]
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav_meta(blob: bytes) -> dict:
+    """REAL WAV structural parser (stdlib only): validates RIFF/WAVE
+    magic, walks chunks (word-aligned per spec) to the fmt and data
+    chunks, extracts the little-endian PCM fields, and derives
+    duration_ms = whole_frames * 1000 // sample_rate (exact integer
+    arithmetic — mirrored by the SQL oracle). Raises ValueError on
+    malformed input."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic or truncated")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, clen = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = len(body)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    _tag, n_channels, sample_rate, _brate, block_align, bits = fmt
+    if block_align <= 0 or sample_rate <= 0:
+        raise ValueError("WAV fmt fields invalid")
+    frames = data_len // block_align
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // sample_rate,
+    }
+
+
 def decode_audio_meta(blob: bytes) -> dict:
-    """STUB audio decoder: deterministic fake metadata from the raw bytes.
-    A real deployment replaces this body with soundfile/ffprobe."""
+    """Audio metadata decode. WAV is REAL (parse_wav_meta — RIFF chunk
+    walk); mp3 and unknown formats fall back to a deterministic declared
+    STUB (no audio libs in this container — a real deployment replaces
+    the fallback with soundfile/ffprobe)."""
     n = len(blob)
-    if blob[:4] == b"RIFF":
-        codec = "wav"
-    elif blob[:3] == b"ID3" or blob[:2] == b"\xff\xfb":
-        codec = "mp3"
-    else:
-        codec = "unknown"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        meta = parse_wav_meta(blob)
+        return {
+            "n_bytes": n,
+            "codec": "wav",
+            "sample_rate": meta["sample_rate"],
+            "n_channels": meta["n_channels"],
+            "duration_ms": meta["duration_ms"],
+        }
+    codec = "mp3" if blob[:3] == b"ID3" or blob[:2] == b"\xff\xfb" else "unknown"
     return {
         "n_bytes": n,
         "codec": codec,

@@ -30,6 +30,22 @@ import numpy as np
 PNG_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-png-fixture-v1.parquet"
 )
+WAV_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-wav-fixture-v1.parquet"
+)
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_params(doc_id: int) -> tuple[int, int, int]:
+    """Fixture audio parameters (sample_rate, n_channels, n_frames): a
+    pure function of doc_id sweeping the common rates, mono/stereo, and
+    frame counts that exercise the duration integer arithmetic."""
+    return (
+        _WAV_RATES[doc_id % len(_WAV_RATES)],
+        1 + doc_id % 2,
+        50 + (doc_id * 13) % 400,
+    )
 
 _TESTDATA_ROOT = "/root/testdata"
 _FALLBACK_MAX_DOC_ID = 4999
@@ -71,6 +87,43 @@ def _max_doc_id() -> int:
         except Exception:
             continue
     return best if best >= 0 else _FALLBACK_MAX_DOC_ID
+
+
+def ensure_wav_fixture() -> str:
+    """Create WAV_FIXTURE_PATH if missing; return the path. One canonical
+    44-byte-header PCM WAV per doc_id (real encode_wav — RIFF sizes,
+    little-endian fmt fields), payload derived from doc_id via the same
+    Knuth-hash stream the PNG fixture uses. Atomic like the PNG path."""
+    if os.path.exists(WAV_FIXTURE_PATH):
+        return WAV_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_wav
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        rate, chans, frames = wav_params(doc_id)
+        payload = png_payload(doc_id, frames * chans * 2)
+        ids.append(doc_id)
+        blobs.append(encode_wav(rate, chans, payload))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "wav": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(WAV_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, WAV_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return WAV_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:

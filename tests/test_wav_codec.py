@@ -1,0 +1,103 @@
+"""Golden tests for the REAL WAV codec (functions/multimodal.py).
+
+Same independence discipline as test_png_codec.py: the parser is
+validated against a HAND-SPELLED RIFF/WAVE byte literal (every header
+byte written out below from the canonical WAVE layout, not produced by
+encode_wav), and the encoder is checked field-by-field against spec
+offsets plus a round-trip through the stdlib `wave` reader — a third
+implementation neither side shares code with."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from opps_feedcrawler_spark.functions.multimodal import (
+    decode_audio_meta,
+    encode_wav,
+    parse_wav_meta,
+)
+
+# Mono 16-bit PCM, 8000 Hz, 4 frames (8 data bytes), spelled byte-for-byte:
+#   RIFF size = 4 ("WAVE") + 8+16 (fmt) + 8+8 (data) = 44
+HAND_WAV = (
+    b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+    + b"fmt " + struct.pack("<I", 16)
+    + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    + b"data" + struct.pack("<I", 8)
+    + b"\x01\x00\x02\x00\x03\x00\x04\x00"
+)
+
+
+def test_parser_on_hand_spelled_wav():
+    meta = parse_wav_meta(HAND_WAV)
+    assert meta == {
+        "sample_rate": 8000,
+        "n_channels": 1,
+        "bits": 16,
+        "n_frames": 4,
+        "duration_ms": 0,  # 4 frames at 8 kHz -> 0 ms (integer floor)
+    }
+
+
+def test_parser_rejects_malformed():
+    with pytest.raises(ValueError):
+        parse_wav_meta(b"ID3\x03not a wav")
+    with pytest.raises(ValueError):
+        parse_wav_meta(HAND_WAV[:10])  # truncated magic
+    # RIFF but not WAVE
+    with pytest.raises(ValueError):
+        parse_wav_meta(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+    # fmt chunk missing entirely
+    no_fmt = HAND_WAV[:12] + HAND_WAV[36:]
+    with pytest.raises(ValueError, match="fmt"):
+        parse_wav_meta(no_fmt)
+
+
+def test_parser_walks_past_extra_chunks():
+    # LIST chunk (odd length -> word-aligned skip) inserted before fmt
+    extra = (
+        b"RIFF" + struct.pack("<I", 44 + 8 + 6) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # pad byte
+        + HAND_WAV[12:]
+    )
+    assert parse_wav_meta(extra)["sample_rate"] == 8000
+
+
+def test_encoder_fields_at_spec_offsets():
+    blob = encode_wav(44100, 2, b"\x00" * 40, bits=16)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert struct.unpack("<H", blob[22:24])[0] == 2          # channels
+    assert struct.unpack("<I", blob[24:28])[0] == 44100      # rate
+    assert struct.unpack("<I", blob[28:32])[0] == 44100 * 4  # byte rate
+    assert struct.unpack("<H", blob[32:34])[0] == 4          # block align
+    assert struct.unpack("<I", blob[40:44])[0] == 40         # data size
+    # RIFF size covers everything after the first 8 bytes
+    assert struct.unpack("<I", blob[4:8])[0] == len(blob) - 8
+
+
+def test_encoder_roundtrip_through_stdlib_wave():
+    payload = bytes(range(200)) * 2  # 400 bytes -> 100 stereo-16 frames
+    blob = encode_wav(16000, 2, payload)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 2
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 100
+        assert w.readframes(100) == payload
+    meta = parse_wav_meta(blob)
+    assert meta["n_frames"] == 100
+    assert meta["duration_ms"] == 100 * 1000 // 16000
+
+
+def test_decode_audio_meta_wav_real_mp3_stub():
+    real = decode_audio_meta(encode_wav(22050, 1, b"\x00" * 441 * 2))
+    assert real["codec"] == "wav"
+    assert real["sample_rate"] == 22050
+    assert real["n_channels"] == 1
+    assert real["duration_ms"] == 441 * 1000 // 22050
+    stub = decode_audio_meta(b"ID3\x04rest-of-an-mp3")
+    assert stub["codec"] == "mp3"  # declared stub path, deterministic
