@@ -400,3 +400,176 @@ def extract_all_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
     page exactly once, regardless of how many tables derive from it)."""
     rows = [extract_all_py(h, b) for h, b in zip(html, base_url)]
     return pd.DataFrame(rows, columns=["text", "links", "entries"])
+
+
+# ---------------------------------------------------------------------------
+# Sitemap protocol (round 3) — the other crawl-discovery format besides
+# RSS/Atom. Public spec: sitemaps.org/protocol.html (urlset + sitemapindex),
+# referenced from robots.txt via the `Sitemap:` directive (RFC 9309 §2.3
+# allows unrecognized lines; the directive itself is the sitemaps.org
+# extension). Same stdlib-ElementTree, localname-matching style as the feed
+# parser above so namespaced documents (xmlns="http://www.sitemaps.org/...")
+# parse identically to bare ones.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import BooleanType, DoubleType, TimestampType  # noqa: E402
+
+SITEMAP_STRUCT = StructType(
+    [
+        StructField("loc", StringType()),
+        StructField("lastmod_ts", TimestampType()),
+        StructField("changefreq", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("is_index", BooleanType()),
+    ]
+)
+
+
+def parse_sitemap_py(xml: bytes | str | None) -> list[dict]:
+    """Parse a sitemap document into entry dicts matching SITEMAP_STRUCT.
+
+    - <urlset>: one dict per <url> with loc / lastmod (W3C datetime →
+      naive UTC, same convention as feed timestamps) / changefreq /
+      priority (float, protocol default-less: absent → None);
+    - <sitemapindex>: one dict per <sitemap> with loc / lastmod and
+      is_index=True (changefreq/priority are not part of index entries);
+    - anything else (non-XML, wrong root): [] — callers treat the page as
+      not-a-sitemap, mirroring the feed parser's fallback contract.
+
+    Entries without <loc> are skipped (loc is the protocol's only required
+    field). Document order is preserved for deterministic downstream
+    scheduling.
+    """
+    doc = _decode(xml)
+    if not doc:
+        return []
+    root = _parse_xml(doc)
+    if root is None:
+        return []
+    local = root.tag.lower().rsplit("}", 1)[-1]
+    if local == "urlset":
+        is_index, entry_local = False, "url"
+    elif local == "sitemapindex":
+        is_index, entry_local = True, "sitemap"
+    else:
+        return []
+    out: list[dict] = []
+    for el in root.iter():
+        if el.tag.rsplit("}", 1)[-1] != entry_local:
+            continue
+        loc = _child_text_local(el, "loc")
+        if not loc:
+            continue
+        priority = None
+        if not is_index:
+            raw_pri = _child_text_local(el, "priority")
+            if raw_pri is not None:
+                try:
+                    priority = float(raw_pri)
+                except ValueError:
+                    priority = None
+        out.append(
+            {
+                "loc": loc,
+                "lastmod_ts": parse_feed_datetime(_child_text_local(el, "lastmod")),
+                "changefreq": None if is_index else _child_text_local(el, "changefreq"),
+                "priority": priority,
+                "is_index": is_index,
+            }
+        )
+    return out
+
+
+@pandas_udf(ArrayType(SITEMAP_STRUCT))
+def parse_sitemap_udf(xml: pd.Series) -> pd.Series:
+    return pd.Series([parse_sitemap_py(x) for x in xml], dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction (round 3) — (link, anchor text) pairs in document
+# order, the input to per-target anchor aggregation (the classic web-graph
+# signal used for retrieval and training-data enrichment; see e.g. Brin &
+# Page 1998 §2.2, public). Unlike extract_links_py this keeps EVERY
+# occurrence (aggregation wants counts) and carries the visible text
+# between <a href> and </a>, whitespace-collapsed like _TextExtractor.
+# ---------------------------------------------------------------------------
+
+ANCHOR_STRUCT = StructType(
+    [
+        StructField("link", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+
+class _AnchorExtractor(HTMLParser):
+    """Collects (href, anchor-text) pairs. A new <a> implicitly closes an
+    unclosed previous one (browser-like recovery); anchors nested inside
+    _SKIP_TAGS still count (href collection matches _LinkExtractor, which
+    ignores skip depth)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._href: str | None = None
+        self._chunks: list[str] = []
+        self.pairs: list[tuple[str, str]] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = _WS.sub(" ", " ".join(self._chunks)).strip()
+            self.pairs.append((self._href, text))
+        self._href = None
+        self._chunks = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v:
+                    self._href = v
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and data.strip():
+            self._chunks.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_anchors_py(
+    html: bytes | str | None, base_url: str | None
+) -> list[dict]:
+    """(link, anchor) per <a href> occurrence, hrefs resolved against
+    base_url; order = document order, duplicates KEPT (each occurrence is
+    one vote in anchor aggregation)."""
+    doc = _decode(html)
+    if not doc:
+        return []
+    p = _AnchorExtractor()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        pass
+    out: list[dict] = []
+    for href, anchor in p.pairs:
+        try:
+            absolute = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        if absolute:
+            out.append({"link": absolute, "anchor": anchor})
+    return out
+
+
+@pandas_udf(ArrayType(ANCHOR_STRUCT))
+def extract_anchors_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_anchors_py(h, b) for h, b in zip(html, base_url)], dtype=object
+    )

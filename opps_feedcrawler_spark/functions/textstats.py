@@ -201,3 +201,48 @@ def rare_word_stats(docs, rare_max_count: int = 2, id_col: str = "doc_id", text_
             ).alias("rare_frac"),
         )
     )
+
+
+def c4_quality_filter(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":  # noqa: F821 - DataFrame type for doc only
+    """C4-style page/line quality filtering (Raffel et al. 2020 §2.2,
+    public: the "Colossal Clean Crawled Corpus" heuristics), JVM-native —
+    zero Python in the data path:
+
+    line level (a line = '\\n' segment):
+      - keep only lines that end in terminal punctuation (. ! ? ");
+      - keep only lines with >= 5 words;
+      - drop any line containing the word 'javascript';
+    page level:
+      - drop pages containing '{' (code), or 'lorem ipsum';
+      - drop pages with fewer than 3 surviving lines.
+
+    Output: (id_col, n_lines, n_kept, kept_text, doc_kept, drop_reason)
+    with drop_reason in ('brace','lorem_ipsum','too_few_sentences', NULL)
+    checked in that order (first match wins, mirroring the paper's filter
+    sequence). kept_text re-joins surviving lines with '\\n'.
+
+    Scale: pure narrow map over whole-stage-codegen'd array expressions —
+    no shuffle, no UDF; at 100 TB this runs at scan speed and composes
+    with any downstream dedup/tokenize stage."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            (F.size(F.split(F.trim(ln), " ")) >= 5)
+            & F.trim(ln).rlike('[.!?"]$')
+            & ~F.lower(ln).contains("javascript")
+        ),
+    )
+    low = F.lower(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        F.when(low.contains("{"), "brace")
+        .when(low.contains("lorem ipsum"), "lorem_ipsum")
+        .when(F.size(kept) < 3, "too_few_sentences")
+        .alias("drop_reason"),
+    ).withColumn("doc_kept", F.col("drop_reason").isNull())

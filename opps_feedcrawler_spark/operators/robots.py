@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,11 +68,15 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
     consecutive ``User-agent`` lines followed by their rules; the crawler
     uses ALL groups whose user-agent token equals its product token
     (case-insensitive), falling back to the ``*`` groups when none match.
-    Returns {"crawl_delay": float|None, "rules": [{"allow","prefix"}...]}
-    with matched groups' rules merged in file order. The default
-    ``agent="*"`` keeps the generic-crawler behavior (the reference's
-    feedparser-based fetcher does not identify specially [PK])."""
+    Returns {"crawl_delay": float|None, "rules": [{"allow","prefix"}...],
+    "sitemaps": [url...]} with matched groups' rules merged in file order.
+    ``Sitemap:`` directives (the sitemaps.org extension RFC 9309 §2.3
+    tolerates as "other records") are GLOBAL — collected in file order from
+    anywhere in the file, independent of agent groups, per the sitemaps.org
+    spec. The default ``agent="*"`` keeps the generic-crawler behavior (the
+    reference's feedparser-based fetcher does not identify specially [PK])."""
     groups: list[dict] = []
+    sitemaps: list[str] = []
     cur: dict | None = None
     last_was_ua = False
     for raw in text.splitlines():
@@ -81,6 +86,10 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
         key, _, value = line.partition(":")
         key = key.strip().lower()
         value = value.strip()
+        if key == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
         if key == "user-agent":
             if not last_was_ua or cur is None:
                 cur = {"agents": set(), "rules": [], "crawl_delay": None}
@@ -108,7 +117,53 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
         (g["crawl_delay"] for g in matched if g["crawl_delay"] is not None),
         None,
     )
-    return {"crawl_delay": crawl_delay, "rules": rules}
+    return {"crawl_delay": crawl_delay, "rules": rules, "sitemaps": sitemaps}
+
+
+def parse_robots_udf():
+    """Arrow-batched robots.txt parser UDF: raw text → struct(crawl_delay,
+    rules, sitemaps) matching with_robots' expected rules shape. Built as a
+    factory (pandas_udf registration touches the active session's config)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    struct = StructType(
+        [
+            StructField("crawl_delay", DoubleType()),
+            StructField(
+                "rules",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("allow", BooleanType()),
+                            StructField("prefix", StringType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField("sitemaps", ArrayType(StringType())),
+        ]
+    )
+
+    @pandas_udf(struct)
+    def _parse(text: pd.Series) -> pd.DataFrame:
+        rows = [parse_robots_txt(t or "") for t in text]
+        return pd.DataFrame(
+            {
+                "crawl_delay": [r["crawl_delay"] for r in rows],
+                "rules": [r["rules"] for r in rows],
+                "sitemaps": [r["sitemaps"] for r in rows],
+            }
+        )
+
+    return _parse
 
 
 def with_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:

@@ -2897,6 +2897,530 @@ def multimodal_audio_meta(spark, sf_dir):
 
 
 # =========================================================================
+# Round-3 batch 2: sitemap discovery, robots directive parsing, anchor-text
+# aggregation, C4 quality filtering, boilerplate-paragraph dedup, inverted
+# index, TF-IDF, snapshot diff — the crawl-discovery + training-data ops a
+# 100 TB pipeline runs between fetch and tokenize.
+# =========================================================================
+
+
+@_q(
+    "crawl_sitemap_entries",
+    f"""
+    SELECT doc_id, {_DOC_URL_SQL} AS loc,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + ((doc_id // 60) % 60) * INTERVAL 1 MINUTE
+             + (doc_id % 60) * INTERVAL 1 SECOND AS lastmod_ts,
+           'daily' AS changefreq,
+           CAST(doc_id % 10 AS DOUBLE) / 10 AS priority,
+           false AS is_index
+    FROM documents
+    UNION ALL
+    SELECT doc_id, {_DOC_URL_SQL} || '/extra' AS loc,
+           CAST(NULL AS TIMESTAMP) AS lastmod_ts,
+           CAST(NULL AS VARCHAR) AS changefreq,
+           CAST(NULL AS DOUBLE) AS priority,
+           false AS is_index
+    FROM documents
+    """,
+)
+def crawl_sitemap_entries(spark, sf_dir):
+    """Sitemap <urlset> parsing (sitemaps.org protocol — the other crawl
+    discovery format besides RSS/Atom): build a namespaced two-url sitemap
+    per row (url 1 full: lastmod W3C-datetime + changefreq + priority;
+    url 2 minimal: loc only, every optional field must surface as NULL),
+    parse with the Arrow-batched UDF, explode. The oracle predicts the
+    parse output algebraically from the construction — W3C datetime
+    round-trip, float(priority) parity ('0.d' text vs d/10 double: both
+    correctly-rounded), and optional-field nulling are all checked."""
+    from ..functions.extract import parse_sitemap_udf
+
+    d = _doc_urls(spark, sf_dir)
+    mm = F.format_string("%02d", (F.floor(F.col("doc_id") / 60) % 60).cast("int"))
+    ss = F.format_string("%02d", (F.col("doc_id") % 60).cast("int"))
+    xml = F.concat(
+        F.lit(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>"
+        ),
+        F.col("url"),
+        F.lit("</loc><lastmod>2024-01-01T00:"),
+        mm,
+        F.lit(":"),
+        ss,
+        F.lit("Z</lastmod><changefreq>daily</changefreq><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>"),
+        F.col("url"),
+        F.lit("/extra</loc></url></urlset>"),
+    )
+    return d.select(
+        "doc_id", F.explode(parse_sitemap_udf(xml)).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod_ts").alias("lastmod_ts"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.col("e.priority").alias("priority"),
+        F.col("e.is_index").alias("is_index"),
+    )
+
+
+@_q(
+    "crawl_sitemap_index",
+    f"""
+    SELECT doc_id,
+           {_DOC_URL_SQL} || '/sitemap-' || CAST(doc_id % 3 AS VARCHAR)
+             || '.xml' AS loc,
+           TIMESTAMP '2024-02-01 00:00:00'
+             + (doc_id % 24) * INTERVAL 1 HOUR AS lastmod_ts,
+           true AS is_index
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, {_DOC_URL_SQL} || '/sitemap-extra.xml' AS loc,
+           CAST(NULL AS TIMESTAMP) AS lastmod_ts,
+           true AS is_index
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def crawl_sitemap_index(spark, sf_dir):
+    """Sitemap <sitemapindex> parsing — index files point at child
+    sitemaps and are what a 10^10-URL crawl actually receives from large
+    hosts (the protocol caps one sitemap at 50k URLs, so big sites MUST
+    nest). One index per doc_id%5 row with a dated child and an undated
+    child; changefreq/priority are not index-entry fields so the parser
+    must not leak them (schema carries them as always-NULL; projected out
+    here)."""
+    from ..functions.extract import parse_sitemap_udf
+
+    d = _doc_urls(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    hh = F.format_string("%02d", (F.col("doc_id") % 24).cast("int"))
+    xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"),
+        F.col("url"),
+        F.lit("/sitemap-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".xml</loc><lastmod>2024-02-01T"),
+        hh,
+        F.lit(":00:00Z</lastmod></sitemap><sitemap><loc>"),
+        F.col("url"),
+        F.lit("/sitemap-extra.xml</loc></sitemap></sitemapindex>"),
+    )
+    return d.select(
+        "doc_id", F.explode(parse_sitemap_udf(xml)).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod_ts").alias("lastmod_ts"),
+        F.col("e.is_index").alias("is_index"),
+    )
+
+
+@_q(
+    "crawl_robots_parse",
+    """
+    WITH hosts AS (SELECT DISTINCT source AS host FROM documents)
+    SELECT host, CAST(length(host) AS DOUBLE) AS crawl_delay,
+           2 AS n_rules, '/private' AS first_prefix,
+           0 AS sm_pos, 'http://' || host || '.example/sitemap.xml' AS sitemap
+    FROM hosts
+    UNION ALL
+    SELECT host, CAST(length(host) AS DOUBLE) AS crawl_delay,
+           2 AS n_rules, '/private' AS first_prefix,
+           1 AS sm_pos, 'http://' || host || '.example/news/sitemap.xml' AS sitemap
+    FROM hosts
+    """,
+)
+def crawl_robots_parse(spark, sf_dir):
+    """robots.txt TEXT parsing through the real RFC 9309 parser
+    (operators/robots.parse_robots_txt via its Arrow-batched UDF): per
+    host, a file with a bot-specific group (must be skipped under the
+    default '*' agent), a '*' group carrying Disallow+Allow+Crawl-delay,
+    comments, and two `Sitemap:` directives — one INSIDE the bot group to
+    prove sitemaps are collected globally per the sitemaps.org spec, not
+    per-group. Output explodes sitemaps with position. Scale: one-row-per-
+    host parse, narrow; the parsed rules feed with_robots' broadcast."""
+    from ..operators.robots import parse_robots_udf
+
+    hosts = (
+        T(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+    )
+    txt = F.concat(
+        F.lit(
+            "# robots for "
+        ),
+        F.col("host"),
+        F.lit(
+            "\nUser-agent: special-bot\nDisallow: /\nSitemap: http://"
+        ),
+        F.col("host"),
+        F.lit(
+            ".example/sitemap.xml\n\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\nCrawl-delay: "
+        ),
+        F.length("host").cast("string"),
+        F.lit("\nSitemap: http://"),
+        F.col("host"),
+        F.lit(".example/news/sitemap.xml\n"),
+    )
+    parsed = hosts.select("host", parse_robots_udf()(txt).alias("p"))
+    return parsed.select(
+        "host",
+        F.col("p.crawl_delay").alias("crawl_delay"),
+        F.size("p.rules").alias("n_rules"),
+        F.col("p.rules")[0]["prefix"].alias("first_prefix"),
+        F.posexplode("p.sitemaps").alias("sm_pos", "sitemap"),
+    )
+
+
+@_q(
+    "graph_anchor_text",
+    f"""
+    WITH refs AS (
+      SELECT doc_id,
+             'http://' || source || '.example/doc/'
+               || CAST(doc_id + 1 AS VARCHAR) AS link,
+             'doc ' || CAST(doc_id + 1 AS VARCHAR) || ' overview' AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'http://' || source || '.example/doc/'
+               || CAST(doc_id + 1 AS VARCHAR) AS link,
+             'doc ' || CAST(doc_id + 1 AS VARCHAR) || ' overview' AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'http://' || source || '.example/doc/'
+               || CAST(doc_id + 2 AS VARCHAR) AS link,
+             'click here' AS anchor
+      FROM documents)
+    SELECT link, COUNT(*) AS n_refs,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(DISTINCT anchor) AS n_anchor_variants,
+           MIN(anchor) AS top_anchor
+    FROM refs GROUP BY link
+    """,
+)
+def graph_anchor_text(spark, sf_dir):
+    """Per-target anchor-text aggregation — the classic web-graph signal
+    (Brin & Page 1998 §2.2): anchors describe the TARGET page and are a
+    standard retrieval / training-data enrichment input. Each page links
+    twice to /doc/{id+1} with a descriptive anchor (duplicate occurrences
+    must each count) and once to /doc/{id+2} with generic 'click here';
+    relative hrefs resolve against the page's own host. Spark parses the
+    REAL HTML through extract_anchors_udf; the oracle predicts the pairs
+    algebraically and aggregates independently. Scale: one shuffle on the
+    target link; outputs are bounded aggregates (counts + MIN), never
+    collect_list — hot targets (the web's power-law inlinks) cannot blow
+    a partition."""
+    from ..functions.extract import extract_anchors_udf
+
+    d = _doc_urls(spark, sf_dir)
+    nxt1 = (F.col("doc_id") + 1).cast("string")
+    nxt2 = (F.col("doc_id") + 2).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/doc/'),
+        nxt1,
+        F.lit('">doc '),
+        nxt1,
+        F.lit(' overview</a> <a href="/doc/'),
+        nxt2,
+        F.lit('">click here</a> <a href="/doc/'),
+        nxt1,
+        F.lit('">doc '),
+        nxt1,
+        F.lit(" overview</a></body></html>"),
+    )
+    pairs = d.select(
+        "doc_id", F.explode(extract_anchors_udf(html, F.col("url"))).alias("a")
+    ).select("doc_id", F.col("a.link").alias("link"), F.col("a.anchor").alias("anchor"))
+    return pairs.groupBy("link").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("anchor").alias("n_anchor_variants"),
+        F.min("anchor").alias("top_anchor"),
+    )
+
+
+@_q(
+    "text_c4_filter_chain",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    built AS (
+      SELECT doc_id,
+             array_to_string(ws[1:6], ' ') || '.' AS l1,
+             array_to_string(ws[5:10], ' ') || '!' AS l5,
+             array_to_string(ws[3:8], ' ') || '?' AS l6
+      FROM w)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 17 = 0 AND b.doc_id % 19 = 0 THEN 8
+                WHEN b.doc_id % 17 = 0 OR b.doc_id % 19 = 0 THEN 7
+                ELSE 6 END AS n_lines,
+           3 AS n_kept,
+           l1 || chr(10) || l5 || chr(10) || l6 AS kept_text,
+           CASE WHEN b.doc_id % 17 = 0 THEN 'brace'
+                WHEN b.doc_id % 19 = 0 THEN 'lorem_ipsum'
+                ELSE NULL END AS drop_reason,
+           b.doc_id % 17 <> 0 AND b.doc_id % 19 <> 0 AS doc_kept
+    FROM built b
+    """,
+)
+def text_c4_filter_chain(spark, sf_dir):
+    """C4 quality-filter chain (Raffel et al. 2020 §2.2) through the real
+    JVM-native operator (functions/textstats.c4_quality_filter). The
+    fixture page plants one line per rule: a short line (<5 words), an
+    unpunctuated line, a 'javascript' line (each must be line-dropped),
+    three clean lines (must survive), plus — on doc_id%17 / %19 rows — a
+    '{'-code line / a 'lorem ipsum' line that must page-drop with the
+    right reason and in the paper's precedence order. The oracle predicts
+    the entire output from the construction — if any filter misfires on
+    any row, kept_text or the reason hashes differ."""
+    from ..functions.textstats import c4_quality_filter
+
+    d = T(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    l1 = F.concat(F.array_join(F.slice(ws, 1, 6), " "), F.lit("."))
+    l2 = F.concat(F.array_join(F.slice(ws, 7, 3), " "), F.lit("."))  # short
+    l3 = F.array_join(F.slice(ws, 1, 5), " ")  # no terminal punct
+    l4 = F.lit("please enable javascript to continue.")
+    l5 = F.concat(F.array_join(F.slice(ws, 5, 6), " "), F.lit("!"))
+    l6 = F.concat(F.array_join(F.slice(ws, 3, 6), " "), F.lit("?"))
+    page = F.concat_ws("\n", l1, l2, l3, l4, l5, l6)
+    page = F.when(
+        F.col("doc_id") % 17 == 0, F.concat(page, F.lit("\nvar config = {"))
+    ).otherwise(page)
+    page = F.when(
+        F.col("doc_id") % 19 == 0,
+        # 4 words, unpunctuated: line-dropped by BOTH line rules, but the
+        # page still contains the 'lorem ipsum' marker -> page-level drop
+        F.concat(page, F.lit("\nlorem ipsum dolor sit")),
+    ).otherwise(page)
+    return c4_quality_filter(
+        d.select("doc_id", page.alias("page")), id_col="doc_id", text_col="page"
+    )
+
+
+@_q(
+    "dedup_exact_paragraphs",
+    """
+    WITH pars AS (
+      SELECT doc_id, 'subscribe to our newsletter for updates' AS par
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'copyright ' || source || ' all rights reserved' AS par
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:10], ' ') AS par
+      FROM documents),
+    agg AS (
+      SELECT md5(par) AS par_md5, COUNT(*) AS n_occ,
+             COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS min_doc_id
+      FROM pars GROUP BY md5(par))
+    SELECT * FROM agg WHERE n_occ >= 2
+    """,
+)
+def dedup_exact_paragraphs(spark, sf_dir):
+    """Paragraph-granular exact dedup — the boilerplate-removal primitive
+    (site-wide footers/banners repeat across millions of pages; cf. the
+    paragraph-hash dedup step in C4 §2.2 and CCNet). Each page carries a
+    global boilerplate paragraph (must aggregate to n_docs = corpus), a
+    per-source footer (n_docs = docs-per-source), and its content head
+    (mostly unique, filtered by n_occ >= 2). Group key is md5(par) — the
+    16-byte fingerprint shuffles, never the paragraph text; output is
+    bounded aggregates. At 100 TB this is ONE shuffle on the hash with
+    map-side partial aggregation."""
+    d = T(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    pars = (
+        d.select(
+            "doc_id",
+            F.lit("subscribe to our newsletter for updates").alias("par"),
+        )
+        .unionAll(
+            d.select(
+                "doc_id",
+                F.concat(
+                    F.lit("copyright "),
+                    F.col("source"),
+                    F.lit(" all rights reserved"),
+                ).alias("par"),
+            )
+        )
+        .unionAll(
+            d.select("doc_id", F.array_join(F.slice(ws, 1, 10), " ").alias("par"))
+        )
+    )
+    return (
+        pars.select("doc_id", F.md5("par").alias("par_md5"))
+        .groupBy("par_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+@_q(
+    "text_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    stats AS (
+      SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM toks GROUP BY term)
+    SELECT term, tf_total, df, first_doc, last_doc, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+          FROM stats)
+    WHERE rnk <= 50
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index dictionary build over the REAL corpus text: explode
+    tokens, aggregate per term (collection tf, document df, posting-range
+    min/max doc), rank by df. The per-term stats line is exactly a Lucene/
+    search-engine dictionary row. Scale: explode is narrow; the term
+    aggregation is one shuffle with map-side combine; output cardinality
+    is the vocabulary (tiny vs corpus), so the final rank-window over the
+    AGGREGATED rows costs nothing — at web scale swap the global window
+    for the repo's two-phase top-k (operators/politeness.py pattern)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@_q(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF over the real corpus. The score
+    is tf * N / df — the raw-count variant with a RATIONAL idf instead of
+    log(N/df): one integer multiply + one IEEE division is bit-identical
+    across engines, where log() is libm-dependent and would poison the
+    value-hash (same monotone ranking per doc for fixed tf since N/df is
+    decreasing in df). Scale: two aggregations with map-side combine; the
+    vocabulary-sized df table broadcasts onto the (doc,term) side; the
+    rank window partitions BY DOC so it parallelizes across the corpus —
+    no global sort anywhere."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "crawl_snapshot_diff",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url,
+           CASE WHEN doc_id % 11 = 0 THEN 'removed'
+                WHEN doc_id % 7 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM documents
+    UNION ALL
+    SELECT {_DOC_URL_SQL} || '/new' AS url, 'added' AS status
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def crawl_snapshot_diff(spark, sf_dir):
+    """Changed-page detection between two crawl snapshots — what drives
+    recrawl scheduling (unchanged pages decay in priority; changed pages
+    re-enter the frontier; cf. the TTL/recrawl operator). Snapshot B is
+    derived from A by deleting doc_id%11 rows, rewriting doc_id%7 rows'
+    content, and adding /new pages for doc_id%13; the diff is a full
+    outer join on url comparing md5 content fingerprints — 16-byte
+    fingerprints shuffle, never page bodies. The oracle predicts every
+    verdict algebraically from the construction. Scale: fingerprinting is
+    narrow map work at scan time; the join shuffles two fingerprint
+    tables co-partitioned on url — at 10^10 URLs this is THE cheapest
+    possible diff (no content movement)."""
+    d = _doc_urls(spark, sf_dir)
+    snap_a = d.select("url", F.md5("text").alias("fp"))
+    snap_b = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "url",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                F.concat(F.col("url"), F.lit("/new")).alias("url"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    return (
+        a.join(b, F.col("a.url") == F.col("b.url"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.url"), F.col("b.url")).alias("url"),
+            F.when(F.col("a.fp").isNull(), "added")
+            .when(F.col("b.fp").isNull(), "removed")
+            .when(F.col("a.fp") != F.col("b.fp"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )
+
+
+# =========================================================================
 # Registration-order curation. The driver samples queries() in dict order
 # (round 1 recorded CORRECTNESS rows for exactly the first 50 entries), so
 # the entries with the least prior driver evidence — the crawl-extraction
@@ -2907,6 +3431,17 @@ def multimodal_audio_meta(spark, sf_dir):
 # =========================================================================
 
 _FRONT_ORDER = [
+    # round-3 batch 2 (this session): never driver-checked, all
+    # oracle-paired — they lead
+    "crawl_sitemap_entries",
+    "crawl_sitemap_index",
+    "crawl_robots_parse",
+    "graph_anchor_text",
+    "text_c4_filter_chain",
+    "dedup_exact_paragraphs",
+    "text_inverted_index",
+    "text_tfidf_topk",
+    "crawl_snapshot_diff",
     # round-2 additions that sat outside the round-2 50-slot window
     # (VERDICT r2 "Next round" #1) — never driver-checked, all
     # oracle-paired, so they lead

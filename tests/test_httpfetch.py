@@ -21,6 +21,19 @@ BIG = b"x" * 5000
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # server-side overlap instrumentation for /slow/: the max number of
+    # requests in-flight at once is a load-insensitive measure of client
+    # concurrency (wall-clock thresholds flake under hypervisor steal)
+    _inflight = 0
+    _max_inflight = 0
+    _gauge_lock = threading.Lock()
+
+    @classmethod
+    def reset_gauge(cls):
+        with cls._gauge_lock:
+            cls._inflight = 0
+            cls._max_inflight = 0
+
     def do_GET(self):  # noqa: N802
         if self.path.startswith("/page/"):
             body = PAGE % self.path.encode()
@@ -38,7 +51,14 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path.startswith("/slow/"):
             import time as _t
 
+            with _Handler._gauge_lock:
+                _Handler._inflight += 1
+                _Handler._max_inflight = max(
+                    _Handler._max_inflight, _Handler._inflight
+                )
             _t.sleep(0.3)
+            with _Handler._gauge_lock:
+                _Handler._inflight -= 1
             body = b"slow body"
             self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
@@ -138,17 +158,23 @@ def test_fetch_http_overlaps_within_partition(spark, server):
     """VERDICT r2 #2: bounded in-partition concurrency. 8 URLs that each
     take >=0.3 s server-side, ONE partition: serial wall-time would be
     >=2.4 s; with an 8-deep pool the partition finishes in ~max latency.
-    Assert < half of serial (generous vs scheduler jitter) — that alone
-    proves N-way in-flight overlap."""
+    Overlap is proven by the SERVER-side in-flight gauge (>=4 requests
+    observed concurrently — impossible for a serial client) plus a loose
+    wall bound strictly under the 2.4 s serial floor; tight wall-clock
+    thresholds flaked under hypervisor steal on this box."""
     import time
 
+    _Handler.reset_gauge()
     urls = [(f"{server}/slow/{i}", "127.0.0.1") for i in range(8)]
     df = spark.createDataFrame(urls, "url_norm string, host string").coalesce(1)
     t0 = time.monotonic()
     rows = fetch_http(df, concurrency=8).collect()
     wall = time.monotonic() - t0
     assert len(rows) == 8 and all(r.status == 200 for r in rows)
-    assert wall < 1.2, f"no overlap: {wall:.2f}s for 8x0.3s serial-equivalent"
+    assert _Handler._max_inflight >= 4, (
+        f"no overlap: server saw max {_Handler._max_inflight} in-flight"
+    )
+    assert wall < 2.2, f"slower than serial floor: {wall:.2f}s for 8x0.3s"
 
 
 def test_fetch_http_politeness_floor_under_concurrency(spark, server):
