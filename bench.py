@@ -82,6 +82,13 @@ HEADLINE_QUERIES = [
     "sample_stratified_fixed",
     "multimodal_audio_meta",
     "dedup_simhash",
+    # round-3 batch 2/3: discovery + training-data text planes
+    "text_c4_filter_chain",
+    "text_tfidf_topk",
+    "text_bigram_lm_score",
+    "warc_roundtrip",
+    "crawl_url_template_mining",
+    "dedup_within_doc_lines",
 ]
 
 

@@ -573,3 +573,155 @@ def extract_anchors_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_anchors_py(h, b) for h, b in zip(html, base_url)], dtype=object
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML <head> metadata extraction (round 3) — title / description / robots
+# meta / canonical / og:title / lang. These are the per-page signals a crawl
+# indexes for scheduling (robots meta gates indexing, canonical collapses
+# URL duplicates) and a training pipeline keeps as document metadata.
+# First occurrence wins for every field, mirroring browser behavior.
+# ---------------------------------------------------------------------------
+
+META_STRUCT = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("robots_meta", StringType()),
+        StructField("canonical", StringType()),
+        StructField("og_title", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+class _MetaExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.fields: dict[str, str | None] = {
+            "title": None,
+            "description": None,
+            "robots_meta": None,
+            "canonical": None,
+            "og_title": None,
+            "lang": None,
+        }
+        self._in_title = False
+        self._title_chunks: list[str] = []
+
+    def _set(self, key: str, value: str | None) -> None:
+        if value is not None and self.fields[key] is None:
+            self.fields[key] = value
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        a = {k.lower(): v for k, v in attrs if v is not None}
+        if tag == "html":
+            self._set("lang", a.get("lang"))
+        elif tag == "title":
+            self._in_title = self.fields["title"] is None
+        elif tag == "meta":
+            name = (a.get("name") or "").lower()
+            prop = (a.get("property") or "").lower()
+            content = a.get("content")
+            if name == "description":
+                self._set("description", content)
+            elif name == "robots":
+                self._set("robots_meta", content)
+            elif prop == "og:title":
+                self._set("og_title", content)
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels:
+                self._set("canonical", a.get("href"))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._set(
+                "title", _WS.sub(" ", " ".join(self._title_chunks)).strip()
+            )
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_chunks.append(data)
+
+
+def extract_meta_py(html: bytes | str | None, base_url: str | None = None) -> dict:
+    """Head-metadata dict matching META_STRUCT; canonical resolved against
+    base_url when relative. Absent fields are None (never '')."""
+    empty = {k: None for k in (
+        "title", "description", "robots_meta", "canonical", "og_title", "lang"
+    )}
+    doc = _decode(html)
+    if not doc:
+        return empty
+    p = _MetaExtractor()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        return empty
+    out = p.fields
+    if out["canonical"]:
+        try:
+            out["canonical"] = urljoin(base_url or "", out["canonical"])
+        except ValueError:
+            pass
+    return out
+
+
+@pandas_udf(META_STRUCT)
+def extract_meta_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [extract_meta_py(h, b) for h, b in zip(html, base_url)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing + decode (round 3) — the real web is NOT utf-8: a crawler
+# must sniff BOMs and <meta charset> declarations before any text operator
+# runs. Simplified WHATWG encoding-sniffing order (public spec): BOM >
+# meta-declared charset in the first 1024 bytes > utf-8 strict > latin-1
+# fallback (latin-1 maps every byte, so the fallback never fails).
+# ---------------------------------------------------------------------------
+
+DECODED_STRUCT = StructType(
+    [
+        StructField("charset", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([a-zA-Z0-9_-]+)""", re.IGNORECASE
+)
+
+
+def sniff_decode_py(raw: bytes | None) -> dict:
+    """(charset, text): charset is the DETECTED label (bom/meta/fallback
+    source), text the decoded payload with the BOM stripped."""
+    if raw is None:
+        return {"charset": None, "text": None}
+    raw = bytes(raw)
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return {"charset": "utf-8", "text": raw[3:].decode("utf-8", "replace")}
+    if raw.startswith(b"\xff\xfe"):
+        return {"charset": "utf-16le", "text": raw[2:].decode("utf-16-le", "replace")}
+    if raw.startswith(b"\xfe\xff"):
+        return {"charset": "utf-16be", "text": raw[2:].decode("utf-16-be", "replace")}
+    m = _META_CHARSET.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii").lower()
+        try:
+            return {"charset": label, "text": raw.decode(label, "replace")}
+        except LookupError:
+            pass  # unknown label: fall through to content sniffing
+    try:
+        return {"charset": "utf-8", "text": raw.decode("utf-8")}
+    except UnicodeDecodeError:
+        return {"charset": "iso-8859-1", "text": raw.decode("iso-8859-1")}
+
+
+@pandas_udf(DECODED_STRUCT)
+def sniff_decode_udf(raw: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([sniff_decode_py(r) for r in raw])

@@ -246,3 +246,177 @@ def c4_quality_filter(
         .when(F.size(kept) < 3, "too_few_sentences")
         .alias("drop_reason"),
     ).withColumn("doc_kept", F.col("drop_reason").isNull())
+
+
+# PII patterns (round 3): the standard pre-training scrub (cf. the
+# BigScience ROOTS / CCNet pipelines, public). Patterns are deliberately
+# written in the common subset of Java regex (Spark) and RE2 (DuckDB
+# oracle) — no backrefs, no lookaround — so the oracle can mirror them
+# verbatim.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+def pii_scrub(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":  # noqa: F821
+    """Redact emails / IPv4s / phone numbers, keeping per-doc counts:
+    (id, scrubbed, n_emails, n_ips, n_phones, had_pii). JVM regexp only —
+    narrow map, runs at scan speed; replacement order is fixed (email,
+    ip, phone) and the count is taken BEFORE its replacement so later
+    rules can't eat earlier matches' evidence."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    t1 = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > 0).alias("had_pii"),
+    )
+
+
+def term_weight_milli(term: Column) -> Column:
+    """Deterministic hashed-feature weight in milli-units: the first 6 hex
+    digits of md5(term) as an integer, mapped to [-500, 499]. md5 is the
+    one hash Spark and DuckDB compute identically, so a linear model over
+    these weights is exactly oracle-checkable. This is the fasttext-style
+    hashing trick (Weinberger et al. 2009, public) with md5 as the hash."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 6), 16, 10).cast("long") % 1000
+        - 500
+    )
+
+
+def linear_quality_score(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":  # noqa: F821
+    """Hashed bag-of-words linear scorer: score = sum_t tf(t)*w(t)/1000
+    with integer weights (term_weight_milli), so the sum is EXACT int64
+    arithmetic in any addition order — no float-summation-order hazard —
+    and only the final division is IEEE. Output: (id, n_tokens, n_terms,
+    score_milli, score, label). Scale: explode is narrow; ONE shuffle on
+    (id, term) with map-side combine, then one on id; weights need no
+    model table at all (hashing trick), so nothing is broadcast."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.select(
+            F.col(id_col),
+            F.col("tf"),
+            (F.col("tf") * term_weight_milli(F.col("term"))).alias("contrib"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("contrib").alias("score_milli"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_terms",
+            "score_milli",
+            (F.col("score_milli").cast("double") / 1000).alias("score"),
+            (F.col("score_milli") >= 0).alias("label"),
+        )
+    )
+
+
+def bigram_lm_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":  # noqa: F821
+    """Corpus-trained bigram-LM predictability score per document — the
+    CCNet-style LM quality gate (Wenzek et al. 2020, public) with the LM
+    trained on the corpus itself and a RATIONAL score instead of log-prob
+    (libm log would poison cross-engine value hashes): per doc,
+    score = sum(corpus_count(bigram)) / sum(corpus_count(prefix_unigram))
+    over the doc's bigram occurrences — both sums exact int64, one IEEE
+    division. High = the doc's word transitions are common corpus-wide;
+    boilerplate scores high, gibberish low. Scale: two count aggregations
+    (map-side combine) whose outputs are vocabulary-sized → broadcast onto
+    the exploded occurrence stream; per-doc agg is the only big shuffle."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = docs.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).withColumn("prefix", F.substring_index(F.col("bg"), " ", 1))
+    bg_counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_n"))
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    ug_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ug_n"))
+    return (
+        occ.join(F.broadcast(bg_counts), "bg")
+        .join(
+            F.broadcast(ug_counts), occ["prefix"] == ug_counts["term"]
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_n").alias("sum_bg"),
+            F.sum("ug_n").alias("sum_prefix"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_bg",
+            "sum_prefix",
+            (F.col("sum_bg").cast("double") / F.col("sum_prefix")).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def dedup_doc_lines(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":  # noqa: F821
+    """WITHIN-document repeated-line removal (keep first occurrence,
+    preserve order) — the intra-doc counterpart of paragraph dedup:
+    navigation blocks repeat inside one page just as footers repeat
+    across pages. Output: (id, n_lines, n_unique, cleaned_text).
+    Scale: posexplode is narrow; the (id, line) first-occurrence agg and
+    the per-id reassembly both shuffle on id — same key, so AQE/Catalyst
+    plans ONE exchange; collect_list is per-document (bounded by doc
+    size), never per-corpus."""
+    lines = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    first = lines.groupBy(id_col, "line").agg(
+        F.min("pos").alias("pos"), F.min("n_lines").alias("n_lines")
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.min("n_lines").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "line"))
+            ).alias("ordered"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_unique",
+            F.array_join(
+                F.transform("ordered", lambda s: s["line"]), "\n"
+            ).alias("cleaned_text"),
+        )
+    )

@@ -228,3 +228,16 @@ def with_url_cols(
         .withColumn("salt", F.pmod(F.col("url_hash"), F.lit(nsalts)).cast("int"))
     )
     return out
+
+
+def url_template(url: Column) -> Column:
+    """Collapse a URL to its structural template for crawler-trap mining:
+    long hex runs (session ids, content hashes) become ``{h}``, digit runs
+    become ``{n}``. Calendar traps (/cal/2024/3/7), session-id explosions
+    and pagination all collapse to ONE template whose URL count then
+    screams in the per-template aggregate, while legitimate content
+    templates stay proportional to real pages (Heydon & Najork's Mercator
+    trap discussion, public). Pure JVM regexp — order matters: hex first,
+    else digit runs inside hex ids would split them."""
+    t = F.regexp_replace(url, "[0-9a-f]{8,}", "{h}")
+    return F.regexp_replace(t, "[0-9]+", "{n}")

@@ -3421,6 +3421,443 @@ def crawl_snapshot_diff(spark, sf_dir):
 
 
 # =========================================================================
+# Round-3 batch 3: head-metadata extraction, charset sniffing, WARC
+# archive roundtrip, crawler-trap template mining, PII scrubbing, hashed
+# linear quality scoring, corpus bigram-LM scoring, within-doc line dedup.
+# =========================================================================
+
+
+@_q(
+    "crawl_html_meta",
+    f"""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'about doc ' || CAST(doc_id AS VARCHAR) AS description,
+           CASE WHEN doc_id % 6 = 0 THEN 'noindex' END AS robots_meta,
+           {_DOC_URL_SQL} AS canonical,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'OG ' || CAST(doc_id AS VARCHAR) END AS og_title,
+           CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang
+    FROM documents
+    """,
+)
+def crawl_html_meta(spark, sf_dir):
+    """<head> metadata extraction (title / description / robots meta /
+    rel=canonical / og:title / html lang) through the real HTMLParser UDF.
+    The fixture page is built algebraically — robots meta only on doc_id%6
+    rows, og:title only on %3 rows (absent fields MUST surface as NULL,
+    never ''), canonical is RELATIVE and must resolve against the page's
+    own URL. Scale: narrow Arrow-batched map, no shuffle."""
+    from ..functions.extract import extract_meta_udf
+
+    d = _doc_urls(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de"),
+        F.lit('"><head><title>Doc '),
+        did,
+        F.lit('</title><meta name="description" content="about doc '),
+        did,
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit('<meta name="robots" content="noindex">'),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="canonical" href="/doc/'),
+        did,
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), did, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>body text</body></html>"),
+    )
+    m = extract_meta_udf(html, F.col("url"))
+    return d.select(
+        "doc_id",
+        m["title"].alias("title"),
+        m["description"].alias("description"),
+        m["robots_meta"].alias("robots_meta"),
+        m["canonical"].alias("canonical"),
+        m["og_title"].alias("og_title"),
+        m["lang"].alias("lang"),
+    )
+
+
+@_q(
+    "crawl_charset_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                           WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END
+             AS charset,
+           CASE doc_id % 4
+             WHEN 0 THEN 'café doc ' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'wide doc ' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '<meta charset="iso-8859-1">café doc '
+                         || CAST(doc_id AS VARCHAR)
+             ELSE 'plain doc ' || CAST(doc_id AS VARCHAR) || ' é'
+           END AS text
+    FROM documents
+    """,
+)
+def crawl_charset_decode(spark, sf_dir):
+    """Charset sniffing + decode (WHATWG order: BOM > meta-declared >
+    utf-8 > latin-1) over REAL mixed-encoding bytes built with F.encode:
+    utf-8 BOM rows, utf-16le BOM rows, meta-declared iso-8859-1 rows whose
+    0xE9 byte is NOT valid utf-8 (proves the declaration is honored), and
+    BOM-less utf-8 rows with a multi-byte char (proves content sniffing).
+    The oracle predicts (charset, text) algebraically — any mis-sniff
+    changes either column. Scale: narrow Arrow map at scan speed."""
+    from ..functions.extract import sniff_decode_udf
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.unhex(F.lit("EFBBBF")),
+                F.encode(F.concat(F.lit("café doc "), did), "UTF-8"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.unhex(F.lit("FFFE")),
+                F.encode(F.concat(F.lit("wide doc "), did), "UTF-16LE"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.encode(
+                F.concat(
+                    F.lit('<meta charset="iso-8859-1">café doc '), did
+                ),
+                "ISO-8859-1",
+            ),
+        )
+        .otherwise(
+            F.encode(F.concat(F.lit("plain doc "), did, F.lit(" é")), "UTF-8")
+        )
+    )
+    s = sniff_decode_udf(raw)
+    return d.select(
+        "doc_id", s["charset"].alias("charset"), s["text"].alias("text")
+    )
+
+
+@_q(
+    "warc_roundtrip",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url,
+           TIMESTAMP '2024-03-01 00:00:00'
+             + (doc_id % 1440) * INTERVAL 1 MINUTE AS warc_date,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           text
+    FROM documents
+    """,
+)
+def warc_roundtrip(spark, sf_dir):
+    """WARC (ISO 28500) serialize -> parse roundtrip: pack the corpus into
+    archive blobs (one per Arrow batch, built where the records live — the
+    exact shape of a 1000-executor crawl writing shard files), then read
+    them back. Output must reproduce every (url, timestamp, octet length,
+    payload) exactly; the oracle predicts all four from the source table,
+    so a single corrupted length or date kills the hash. Archives-per-
+    partition varies with parallelism but record rows do not — the output
+    is partitioning-independent. Scale: zero shuffle in either direction."""
+    from ..sources.warc import read_warc, to_warc
+
+    d = _doc_urls(spark, sf_dir)
+    records = d.select(
+        "url",
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(mins=(F.col("doc_id") % 1440).cast("int"))
+        ).alias("warc_date"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    back = read_warc(to_warc(records))
+    return back.select(
+        "url",
+        "warc_date",
+        "content_length",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+@_q(
+    "crawl_url_template_mining",
+    f"""
+    WITH urls AS (
+      SELECT source AS host, {_DOC_URL_SQL} AS url FROM documents
+      UNION ALL
+      SELECT source AS host,
+             'http://' || source || '.example/cal/2024/'
+               || CAST(doc_id % 12 + 1 AS VARCHAR) || '/'
+               || CAST(doc_id % 28 + 1 AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT source AS host,
+             'http://' || source || '.example/page?sid='
+               || md5(CAST(doc_id AS VARCHAR)) AS url
+      FROM documents WHERE doc_id % 5 = 0)
+    SELECT host,
+           regexp_replace(regexp_replace(url, '[0-9a-f]{{8,}}', '{{h}}', 'g'),
+                          '[0-9]+', '{{n}}', 'g') AS template,
+           COUNT(DISTINCT url) AS n_urls, COUNT(*) AS n_pages
+    FROM urls GROUP BY 1, 2
+    """,
+)
+def crawl_url_template_mining(spark, sf_dir):
+    """URL template mining for crawler-trap detection (Mercator's trap
+    heuristics, Heydon & Najork 1999, public): collapse hex runs to {h}
+    and digit runs to {n}, aggregate per (host, template). Calendar pages
+    and session-id URLs — infinite URL spaces over finite content — each
+    collapse to ONE template whose distinct-URL count exposes them, which
+    is how a frontier caps trap growth before fetching it. Scale: the
+    template map is narrow JVM regexp; ONE shuffle on (host, template)
+    with map-side combine; output cardinality = templates (tiny)."""
+    from ..functions.urlnorm import url_template
+
+    d = _doc_urls(spark, sf_dir)
+    urls = (
+        d.select(F.col("source").alias("host"), "url")
+        .unionAll(
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                F.col("source").alias("host"),
+                F.concat(
+                    F.lit("http://"), F.col("source"), F.lit(".example/cal/2024/"),
+                    (F.col("doc_id") % 12 + 1).cast("string"), F.lit("/"),
+                    (F.col("doc_id") % 28 + 1).cast("string"),
+                ).alias("url"),
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                F.col("source").alias("host"),
+                F.concat(
+                    F.lit("http://"), F.col("source"), F.lit(".example/page?sid="),
+                    F.md5(F.col("doc_id").cast("string")),
+                ).alias("url"),
+            )
+        )
+    )
+    return urls.groupBy(
+        "host", url_template(F.col("url")).alias("template")
+    ).agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
+@_q(
+    "text_pii_scrub",
+    r"""
+    WITH pages AS (
+      SELECT doc_id,
+             text || ' contact admin' || CAST(doc_id AS VARCHAR) || '@crawl'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.example now.'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                               || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' call +1-555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS page
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(page,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+             regexp_replace(page,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                 '[EMAIL]', 'g') AS t1
+      FROM pages),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                 '[IP]', 'g') AS t2
+      FROM s1)
+    SELECT doc_id,
+           regexp_replace(t2, '\+\d{1,3}-\d{3}-\d{4}', '[PHONE]', 'g')
+             AS scrubbed,
+           CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '\+\d{1,3}-\d{3}-\d{4}')) AS INT)
+             AS n_phones,
+           n_emails + n_ips
+             + len(regexp_extract_all(t2, '\+\d{1,3}-\d{3}-\d{4}')) > 0
+             AS had_pii
+    FROM s2
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone numbers) — the standard
+    pre-training scrub (cf. BigScience ROOTS, public), through the
+    JVM-native pii_scrub operator. Fixture pages plant an email on every
+    row, an IP on %3 rows and a phone on %5 rows ON TOP of the real corpus
+    text; the oracle runs the SAME regexes independently in RE2, so the
+    patterns themselves are cross-engine-verified, not just the plumbing.
+    Scale: pure narrow regexp map at scan speed, zero Python."""
+    from ..functions.textstats import pii_scrub
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.col("text"),
+        F.lit(" contact admin"), did.cast("string"), F.lit("@crawl"),
+        (did % 7).cast("string"), F.lit(".example now."),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" server 10."), (did % 256).cast("string"), F.lit("."),
+                ((did * 7) % 256).cast("string"), F.lit("."),
+                ((did * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", page.alias("page")), text_col="page")
+
+
+@_q(
+    "text_quality_linear_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    w AS (
+      SELECT doc_id, tf,
+             CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) % 1000 - 500
+               AS wm
+      FROM tf)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_terms,
+           CAST(SUM(tf * wm) AS BIGINT) AS score_milli,
+           CAST(SUM(tf * wm) AS DOUBLE) / 1000 AS score,
+           SUM(tf * wm) >= 0 AS label
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_quality_linear_score(spark, sf_dir):
+    """Hashed bag-of-words linear quality scorer (the fasttext-style
+    hashing trick, Weinberger et al. 2009) with md5-derived integer
+    weights: score_milli is EXACT int64 in any addition order — the only
+    IEEE op is the final /1000 — so a distributed sum is bit-identical to
+    the oracle's serial one. The real use swaps md5-weights for trained
+    ones; every plan property (no model broadcast, one combine-enabled
+    shuffle) is the production shape."""
+    from ..functions.textstats import linear_quality_score
+
+    return linear_quality_score(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_bigram_lm_score",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    occ AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS prefix
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+    bgc AS (SELECT bg, COUNT(*) AS bg_n FROM occ GROUP BY bg),
+    toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    ugc AS (SELECT term, COUNT(*) AS ug_n FROM toks GROUP BY term)
+    SELECT o.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(bgc.bg_n) AS BIGINT) AS sum_bg,
+           CAST(SUM(ugc.ug_n) AS BIGINT) AS sum_prefix,
+           CAST(SUM(bgc.bg_n) AS DOUBLE) / SUM(ugc.ug_n) AS score
+    FROM occ o
+    JOIN bgc USING (bg) JOIN ugc ON o.prefix = ugc.term
+    GROUP BY o.doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM predictability per document — the CCNet
+    LM quality gate (Wenzek et al. 2020) with a rational score instead of
+    log-prob so the value hash is engine-stable (both sums are exact
+    int64; ONE IEEE division). High score = common word transitions
+    (boilerplate), low = gibberish. Scale: bigram/unigram count tables are
+    vocabulary-sized and BROADCAST onto the occurrence stream; only the
+    per-doc agg shuffles the corpus."""
+    from ..functions.textstats import bigram_lm_stats
+
+    return bigram_lm_stats(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_within_doc_lines",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             -- COALESCE: DuckDB's array_to_string([]) is NULL where
+             -- Spark's array_join([]) is '' — short docs must not null out
+             'subscribe to our newsletter today.' || chr(10)
+               || 'p1: ' || COALESCE(
+                    array_to_string((string_split(text, ' '))[1:5], ' '), '')
+               || chr(10) || 'subscribe to our newsletter today.' || chr(10)
+               || 'p2: ' || COALESCE(
+                    array_to_string((string_split(text, ' '))[6:10], ' '), '')
+               || chr(10)
+               || 'p3: ' || COALESCE(
+                    array_to_string((string_split(text, ' '))[11:15], ' '), '')
+               || chr(10) || 'subscribe to our newsletter today.' AS page
+      FROM documents),
+    l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+    lines AS (
+      SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, ls[i] AS line, i AS pos
+      FROM l, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+    first AS (
+      SELECT doc_id, MIN(n_lines) AS n_lines, line, MIN(pos) AS pos
+      FROM lines GROUP BY doc_id, line)
+    SELECT doc_id, MIN(n_lines) AS n_lines, COUNT(*) AS n_unique,
+           string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+    FROM first GROUP BY doc_id
+    """,
+)
+def dedup_within_doc_lines(spark, sf_dir):
+    """WITHIN-document repeated-line removal (keep first occurrence,
+    preserve document order) — the intra-doc counterpart of
+    dedup_exact_paragraphs: nav blocks repeat inside one page just like
+    footers repeat across pages. The fixture interleaves one boilerplate
+    line three times among content lines; the ORACLE IS GENERAL (it
+    dedups in SQL, not algebraically), so it verifies the operator on any
+    input, including corpus text that happens to collide. Scale: both
+    aggs shuffle on the same key (one exchange after AQE); collect_list
+    is bounded per document."""
+    from ..functions.textstats import dedup_doc_lines
+
+    d = T(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    boiler = F.lit("subscribe to our newsletter today.")
+    page = F.concat_ws(
+        "\n",
+        boiler,
+        F.concat(F.lit("p1: "), F.array_join(F.slice(ws, 1, 5), " ")),
+        boiler,
+        F.concat(F.lit("p2: "), F.array_join(F.slice(ws, 6, 5), " ")),
+        F.concat(F.lit("p3: "), F.array_join(F.slice(ws, 11, 5), " ")),
+        boiler,
+    )
+    return dedup_doc_lines(
+        d.select("doc_id", page.alias("page")), text_col="page"
+    )
+
+
+# =========================================================================
 # Registration-order curation. The driver samples queries() in dict order
 # (round 1 recorded CORRECTNESS rows for exactly the first 50 entries), so
 # the entries with the least prior driver evidence — the crawl-extraction
@@ -3431,8 +3868,16 @@ def crawl_snapshot_diff(spark, sf_dir):
 # =========================================================================
 
 _FRONT_ORDER = [
-    # round-3 batch 2 (this session): never driver-checked, all
-    # oracle-paired — they lead
+    # round-3 batch 3: never driver-checked, all oracle-paired — they lead
+    "crawl_html_meta",
+    "crawl_charset_decode",
+    "warc_roundtrip",
+    "crawl_url_template_mining",
+    "text_pii_scrub",
+    "text_quality_linear_score",
+    "text_bigram_lm_score",
+    "dedup_within_doc_lines",
+    # round-3 batch 2: never driver-checked, all oracle-paired
     "crawl_sitemap_entries",
     "crawl_sitemap_index",
     "crawl_robots_parse",

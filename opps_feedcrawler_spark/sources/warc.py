@@ -1,0 +1,149 @@
+"""WARC archive format — serialize / parse (round 3).
+
+WARC (ISO 28500, public; the format every large web crawl — e.g.
+Common Crawl — publishes in) stores a crawl as a concatenation of
+records: a header block of CRLF-separated `Name: value` lines ending in
+a blank line, then exactly `Content-Length` payload octets, then a
+CRLF CRLF record terminator. Because the payload length is declared,
+payloads may contain anything (including "\\r\\n\\r\\n") — a correct
+parser MUST read the declared length instead of splitting on
+delimiters, and ours does.
+
+Spark shape: `to_warc` packs each Arrow batch of records into ONE
+archive blob via ``mapInPandas`` (no shuffle — archives are built where
+the records already are, exactly how a 1000-executor crawl would write
+shard files), and `read_warc` is its inverse. Both ends are pure
+functions (`build_warc_py` / `parse_warc_py`) so tests golden-check the
+byte format directly.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+WARC_VERSION = b"WARC/1.0"
+_CRLF = b"\r\n"
+
+# (url string, warc_date timestamp, payload binary) — the record triple.
+RECORD_SCHEMA = (
+    "url string, warc_date timestamp, content_length bigint, payload binary"
+)
+ARCHIVE_SCHEMA = "archive binary, n_records bigint"
+
+
+def _fmt_date(ts) -> bytes:
+    """WARC-Date is W3C ISO-8601 Z-suffixed (ISO 28500 §5.4)."""
+    if isinstance(ts, datetime):
+        dt = ts
+    else:  # pandas.Timestamp
+        dt = ts.to_pydatetime()
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ").encode("ascii")
+
+
+def build_warc_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
+    """Serialize (url, warc_date, payload) triples into one WARC archive."""
+    out = bytearray()
+    for url, ts, payload in records:
+        payload = bytes(payload) if payload is not None else b""
+        out += WARC_VERSION + _CRLF
+        out += b"WARC-Type: response" + _CRLF
+        out += b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        out += b"WARC-Date: " + _fmt_date(ts) + _CRLF
+        out += b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
+        out += _CRLF
+        out += payload
+        out += _CRLF + _CRLF
+    return bytes(out)
+
+
+def parse_warc_py(archive: bytes | None) -> list[dict]:
+    """Parse an archive into record dicts; length-driven, never split-based.
+
+    Tolerates header names in any case and unknown header lines (the spec
+    allows extension headers). A record missing Content-Length or a
+    truncated payload ends parsing (a torn tail file — the part before it
+    is still returned, matching how crawl readers salvage partial shards).
+    """
+    if not archive:
+        return []
+    buf = bytes(archive)
+    out: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        hdr_end = buf.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            break
+        header_lines = buf[pos:hdr_end].split(_CRLF)
+        if not header_lines or not header_lines[0].startswith(b"WARC/"):
+            break
+        fields: dict[str, str] = {}
+        for line in header_lines[1:]:
+            name, _, value = line.partition(b":")
+            fields[name.strip().lower().decode("ascii", "replace")] = (
+                value.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            break
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            break
+        payload = buf[body_start : body_start + length]
+        ts = None
+        raw_date = fields.get("warc-date")
+        if raw_date:
+            try:
+                ts = datetime.strptime(raw_date, "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                ts = None
+        out.append(
+            {
+                "url": fields.get("warc-target-uri"),
+                "warc_date": ts,
+                "content_length": length,
+                "payload": payload,
+            }
+        )
+        pos = body_start + length + 4  # skip record terminator CRLF CRLF
+    return out
+
+
+def to_warc(records: DataFrame) -> DataFrame:
+    """(url, warc_date, payload) -> (archive binary, n_records): one
+    archive blob per non-empty Arrow batch, built in place (no shuffle)."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            blob = build_warc_py(
+                zip(b["url"], b["warc_date"], b["payload"])
+            )
+            yield pd.DataFrame({"archive": [blob], "n_records": [len(b)]})
+
+    return records.select("url", "warc_date", "payload").mapInPandas(
+        pack, ARCHIVE_SCHEMA
+    )
+
+
+def read_warc(archives: DataFrame) -> DataFrame:
+    """(archive binary) -> one row per WARC record — the inverse of
+    to_warc; archives stay where they are (narrow map, no shuffle)."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[dict] = []
+            for blob in b["archive"]:
+                rows.extend(parse_warc_py(blob))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return archives.select("archive").mapInPandas(unpack, RECORD_SCHEMA)
