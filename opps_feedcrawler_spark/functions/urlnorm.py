@@ -241,3 +241,50 @@ def url_template(url: Column) -> Column:
     else digit runs inside hex ids would split them."""
     t = F.regexp_replace(url, "[0-9a-f]{8,}", "{h}")
     return F.regexp_replace(t, "[0-9]+", "{n}")
+
+
+# Minimal deterministic public-suffix set for registrable-domain (PLD)
+# extraction. The real publicsuffix.org list is ~9k rules and changes
+# weekly; shipping a snapshot would make results time-dependent, so the
+# engine takes the rule TABLE as data (broadcast) and this constant is
+# only the built-in default used by tests/oracles. Multi-label entries
+# cover the two structural cases: country second-level (co.uk) and
+# private registry (github.io).
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "io", "edu", "gov", "example",
+    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "github.io",
+)
+
+
+def registrable_domain(
+    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+) -> Column:
+    """Pay-level / registrable domain of a hostname: one label more than
+    the LONGEST matching public suffix (publicsuffix.org algorithm,
+    longest-match rule). 'a.b.example.co.uk' -> 'example.co.uk';
+    'www.example.com' -> 'example.com'; a host that IS a bare suffix or
+    matches nothing falls back to itself (the PSL's implicit '*' rule
+    degenerates to last-2-labels only when some suffix matched).
+
+    Politeness and frontier salting by PLD instead of raw host is what
+    stops a wildcard-subdomain spam farm (*.blogspot.example) from
+    multiplying its politeness quota by inventing hosts.
+
+    Pure JVM expressions (no UDF): for each candidate suffix length k in
+    {2-label, 1-label} we slice the last k+1 labels with slice(split())
+    and test membership against the literal suffix set; the longest
+    match wins via CASE ordering. Cost is a fixed handful of codegen'd
+    string ops per row — no shuffle, no join, no Python.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last1 = F.element_at(labels, -1)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    two_label = tuple(s for s in suffixes if s.count(".") == 1)
+    one_label = tuple(s for s in suffixes if "." not in s)
+    return (
+        F.when((n >= 3) & last2.isin(*two_label), last3)
+        .when((n >= 2) & last1.isin(*one_label), last2)
+        .otherwise(host)
+    )

@@ -436,3 +436,62 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def word_shingles(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle string).
+
+    Whitespace-tokenized, lowercased — the normalization benchmark-
+    decontamination pipelines use (GPT-3 appendix C / Dodge et al. 2021
+    use 8-13-gram overlap after light normalization; the n is a knob).
+    Pure JVM: split + a transform() over token offsets + explode, so
+    shingling stays inside whole-stage codegen — no Python in the path
+    of every token of a 100 TB corpus.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # slide a window of n over the token array via transform on indices
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size({'__toks'}), {n}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with any benchmark document. Returns
+    (id, n_overlap_shingles) for contaminated train docs only — the
+    caller anti-joins this against the corpus to drop or audit them.
+
+    Scale design: both sides reduce to DISTINCT (id, shingle) pairs; the
+    benchmark side (eval sets are tiny — thousands of docs vs billions)
+    collapses further to a DISTINCT shingle column that AQE broadcasts,
+    so the corpus-side cost is one map-side semi-ish hash join plus a
+    groupBy(id) count with partial aggregation. No all-pairs product
+    anywhere; corpus shingles stream through without materializing.
+    """
+    t = word_shingles(train, n, id_col, text_col)
+    b = word_shingles(benchmark, n, id_col, text_col).select(
+        "shingle"
+    ).distinct()
+    return (
+        t.join(b, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
+    )

@@ -3857,6 +3857,354 @@ def dedup_within_doc_lines(spark, sf_dir):
     )
 
 
+@_q(
+    "crawl_redirect_resolve",
+    """
+    WITH f AS (
+      SELECT 'http://redir.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    r AS (
+      SELECT 'http://redir.example/doc/' || CAST(doc_id AS VARCHAR) AS src,
+             'http://redir.example/doc/' || CAST(
+               (doc_id * 3 + 1) % (SELECT COUNT(*) FROM documents)
+               AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 5 < 2),
+    h0 AS (SELECT url, url AS cur, 0 AS hops FROM f),
+    h1 AS (SELECT h.url, COALESCE(r.dst, h.cur) AS cur,
+                  h.hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+           FROM h0 h LEFT JOIN r ON r.src = h.cur),
+    h2 AS (SELECT h.url, COALESCE(r.dst, h.cur) AS cur,
+                  h.hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+           FROM h1 h LEFT JOIN r ON r.src = h.cur),
+    h3 AS (SELECT h.url, COALESCE(r.dst, h.cur) AS cur,
+                  h.hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+           FROM h2 h LEFT JOIN r ON r.src = h.cur)
+    SELECT h.url, h.cur AS final_url, CAST(h.hops AS INT) AS n_hops,
+           (r.src IS NULL) AS resolved
+    FROM h3 h LEFT JOIN r ON r.src = h.cur
+    """,
+)
+def crawl_redirect_resolve(spark, sf_dir):
+    """HTTP 3xx redirect-chain resolution before frontier dedup
+    (operators/frontier.resolve_redirects): a synthetic Location map where
+    40 % of URLs redirect to (3·id+1) mod N, so real multi-hop chains,
+    converging aliases AND loops all occur; the walk is bounded at 3 hops
+    (RFC 9110 §15.4 redirect caps) and rows still pointing at a redirect
+    source after 3 hops come back resolved=false (trap/loop candidates).
+    Dedup on the RESOLVED URL is what stops a moved page from being
+    fetched once per alias. Oracle: the same bounded walk as unrolled
+    left-join CTEs. Scale: 4 hash joins of the narrow frontier against
+    the (usually tiny, AQE-broadcast) redirect map — no content columns
+    move, loops cannot diverge (hop-bounded by construction)."""
+    from ..operators.frontier import resolve_redirects
+
+    docs = T(spark, sf_dir, "documents")
+    cnt = docs.count()
+
+    def u(c):
+        return F.concat(F.lit("http://redir.example/doc/"), c.cast("string"))
+
+    frontier = docs.select(u(F.col("doc_id")).alias("url"))
+    redirects = docs.filter(F.col("doc_id") % 5 < 2).select(
+        u(F.col("doc_id")).alias("src"),
+        u((F.col("doc_id") * 3 + 1) % cnt).alias("dst"),
+    )
+    out = resolve_redirects(frontier, redirects, max_hops=3)
+    return out.select(
+        "url",
+        "final_url",
+        F.col("n_hops").cast("int").alias("n_hops"),
+        "resolved",
+    )
+
+
+@_q(
+    "crawl_conditional_get",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST((doc_id * 7) % 1000 AS BIGINT) AS age_secs,
+           CASE WHEN (doc_id * 7) % 1000 < 100 + (doc_id % 7) * 100
+                  THEN 'fresh'
+                WHEN md5(text) = (CASE WHEN doc_id % 3 <> 0 THEN md5(text)
+                                       ELSE md5(text || '!') END)
+                  THEN 'not_modified'
+                ELSE 'refetch' END AS decision
+    FROM documents
+    """,
+)
+def crawl_conditional_get(spark, sf_dir):
+    """Conditional-GET recrawl planning (RFC 9110 §13.1):
+    operators/frontier.recrawl_decisions runs the fresh / not_modified /
+    refetch ladder over a page inventory whose ages, TTLs and live ETags
+    are synthesized deterministically (age=(7·id)%1000, TTL=100+100·(id%7),
+    content changed iff id%3==0). The ETag comparison is REAL on both
+    sides — Spark compares md5(text) columns and the oracle recomputes the
+    same md5s in DuckDB — so the check verifies the comparison machinery,
+    not just the CASE shape. Scale: pure map-side column arithmetic, zero
+    shuffles; TTL freshness prunes the fetch set BEFORE politeness spends
+    budget on it, and 304 revalidations never shuffle a body."""
+    from ..operators.frontier import recrawl_decisions
+
+    d = _doc_urls(spark, sf_dir)
+    inv = d.select(
+        "url",
+        "doc_id",
+        (F.lit(1000000) - (F.col("doc_id") * 7) % 1000)
+        .cast("long")
+        .alias("last_fetch_ts"),
+        F.md5("text").alias("etag_stored"),
+        F.when(F.col("doc_id") % 3 != 0, F.md5("text"))
+        .otherwise(F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .alias("etag_live"),
+    )
+    out = recrawl_decisions(
+        inv,
+        now_ts=F.lit(1000000),
+        ttl_secs=(F.lit(100) + (F.col("doc_id") % 7) * 100),
+    )
+    return out.select("url", F.col("age_secs").cast("long").alias("age_secs"), "decision")
+
+
+@_q(
+    "crawl_adaptive_budget",
+    """
+    WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+    k AS (SELECT host, ascii(right(host, 1)) - 48 AS k FROM hosts),
+    b1 AS (SELECT host, k,
+                  CASE WHEN (k + 0) % 5 = 0 THEN 10
+                       WHEN (k * 2) % 25 >= 10 THEN greatest(1, 10 // 2)
+                       ELSE least(500, 10 + 5) END AS budget
+           FROM k),
+    b2 AS (SELECT host, k,
+                  CASE WHEN (k + 1) % 5 = 0 THEN budget
+                       WHEN (k * 3) % 25 >= 10
+                         THEN greatest(1, budget // 2)
+                       ELSE least(500, budget + 5) END AS budget
+           FROM b1),
+    b3 AS (SELECT host, k,
+                  CASE WHEN (k + 2) % 5 = 0 THEN budget
+                       WHEN (k * 4) % 25 >= 10
+                         THEN greatest(1, budget // 2)
+                       ELSE least(500, budget + 5) END AS budget
+           FROM b2)
+    SELECT host, CAST(budget AS INT) AS budget FROM b3
+    """,
+)
+def crawl_adaptive_budget(spark, sf_dir):
+    """AIMD per-host politeness adaptation over three crawl rounds
+    (operators/frontier.adaptive_budget_round): error rate ≥10 % halves
+    the host's budget (multiplicative decrease), a healthy round adds 5
+    (additive increase, capped), and a host with no traffic that round
+    keeps its budget — the TCP congestion-avoidance shape per-host rate
+    controllers converge to (overloaded hosts emit 429/5xx; halving backs
+    off fast, +step probes back up). Round stats are synthesized from the
+    host name (k = last digit): n_fetched=100, n_errors=(k·(r+2))%25,
+    absent when (k+r)%5==0, so all three CASE arms fire across hosts.
+    All-integer arithmetic — the oracle unrolls the identical ladder.
+    Scale: per round one narrow hash join (hosts × per-host aggregated
+    stats) + map-side CASE; nothing frontier-sized is touched."""
+    from ..operators.frontier import adaptive_budget_round
+
+    hosts = (
+        T(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+    )
+    k = F.ascii(F.substring(F.col("host"), -1, 1)) - 48
+    budgets = hosts.withColumn("budget", F.lit(10).cast("int"))
+    for r in range(3):
+        stats = hosts.filter((k + r) % 5 != 0).select(
+            "host",
+            F.lit(100).alias("n_fetched"),
+            ((k * (r + 2)) % 25).alias("n_errors"),
+        )
+        budgets = adaptive_budget_round(budgets, stats)
+    return budgets
+
+
+@_q(
+    "crawl_host_pld",
+    """
+    WITH h AS (
+      SELECT CASE doc_id % 5
+               WHEN 0 THEN 'www.' || source || '.com'
+               WHEN 1 THEN source || '.co.uk'
+               WHEN 2 THEN 'a.b.' || source || '.github.io'
+               WHEN 3 THEN source || '.internal'
+               ELSE 'sub.' || source || '.org' END AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN source || '.com'
+               WHEN 1 THEN source || '.co.uk'
+               WHEN 2 THEN source || '.github.io'
+               WHEN 3 THEN source || '.internal'
+               ELSE source || '.org' END AS pld
+      FROM documents)
+    SELECT host, pld, COUNT(*) AS n_urls FROM h GROUP BY host, pld
+    """,
+)
+def crawl_host_pld(spark, sf_dir):
+    """Registrable-domain (pay-level-domain) extraction per the
+    publicsuffix.org longest-match algorithm
+    (functions/urlnorm.registrable_domain): hosts are synthesized across
+    the structural cases — plain gTLD with a www subdomain, country
+    second-level suffix (co.uk), private-registry suffix with deep
+    subdomains (a.b.*.github.io), and an unknown TLD that must fall back
+    to the host itself. The ORACLE predicts each PLD algebraically from
+    the construction — independent of the suffix-matching code.
+    Politeness/salting by PLD instead of raw host is what stops a
+    wildcard-subdomain spam farm from multiplying its politeness quota by
+    inventing hosts. Scale: pure codegen'd string ops per row (no UDF, no
+    join); the aggregate is one narrow shuffle on (host, pld)."""
+    from ..functions.urlnorm import registrable_domain
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    host = (
+        F.when(m == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".com")))
+        .when(m == 1, F.concat(F.col("source"), F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".github.io")))
+        .when(m == 3, F.concat(F.col("source"), F.lit(".internal")))
+        .otherwise(F.concat(F.lit("sub."), F.col("source"), F.lit(".org")))
+    )
+    return (
+        d.select(host.alias("host"))
+        .withColumn("pld", registrable_domain(F.col("host")))
+        .groupBy("host", "pld")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+@_q(
+    "decontaminate_ngram_overlap",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      FROM words WHERE len(w) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM idx),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0)
+    SELECT t.doc_id, COUNT(*) AS n_overlap_shingles
+    FROM train t JOIN bench b USING (shingle)
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination — flag training documents sharing any
+    word n-gram with a held-out benchmark set (GPT-3 appendix C / Dodge
+    et al. 2021 use 8-13-grams; the synthetic corpus's tiny vocabulary
+    makes 3-grams exercise the identical plan). Docs with id%29==0 play
+    the benchmark; operators/dedup.contamination_flags returns each
+    contaminated train doc with its overlapping-shingle count. The ORACLE
+    IS GENERAL — it re-shingles and re-joins in SQL, so it verifies the
+    operator on any text. Scale: shingling is whole-stage codegen
+    (split + sequence/slice HOFs, no Python); the benchmark side
+    collapses to a DISTINCT shingle column (eval sets are tiny → AQE
+    broadcast), so corpus cost is one map-side hash join + one
+    partial-aggregated groupBy(doc) — no all-pairs product anywhere."""
+    from ..operators.dedup import contamination_flags
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    out = contamination_flags(train, bench, n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_overlap_shingles"
+    )
+
+
+@_q(
+    "graph_hits_2iter",
+    f"""
+    WITH edges AS ({_pr_edges_sql('(SELECT COUNT(*) FROM documents)')}),
+    n0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS h FROM documents),
+    a1 AS (SELECT d.doc_id AS node, COALESCE(SUM(p.h), 0) AS a
+           FROM documents d
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN n0 p ON p.node = e.src
+           GROUP BY d.doc_id),
+    h1 AS (SELECT d.doc_id AS node, COALESCE(SUM(p.a), 0) AS h
+           FROM documents d
+           LEFT JOIN edges e ON e.src = d.doc_id
+           LEFT JOIN a1 p ON p.node = e.dst
+           GROUP BY d.doc_id),
+    a2 AS (SELECT d.doc_id AS node, COALESCE(SUM(p.h), 0) AS a
+           FROM documents d
+           LEFT JOIN edges e ON e.dst = d.doc_id
+           LEFT JOIN h1 p ON p.node = e.src
+           GROUP BY d.doc_id),
+    h2 AS (SELECT d.doc_id AS node, COALESCE(SUM(p.a), 0) AS h
+           FROM documents d
+           LEFT JOIN edges e ON e.src = d.doc_id
+           LEFT JOIN a2 p ON p.node = e.dst
+           GROUP BY d.doc_id)
+    SELECT a2.node AS doc_id, CAST(a2.a AS BIGINT) AS auth,
+           CAST(h2.h AS BIGINT) AS hub
+    FROM a2 JOIN h2 ON h2.node = a2.node
+    """,
+)
+def graph_hits_2iter(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999), 2 synchronous
+    iterations over the same deterministic link graph as
+    pagerank_mass_3iter — the fourth iterative-algorithm surface. The
+    normalization step is dropped so every value stays an exact int64
+    sum (hub state starts at 1; out-degree is exactly 2, so magnitudes
+    stay tiny at 2 iterations) — float HITS would never hash-match
+    across engines; integer HITS does, bit for bit.
+
+    Scale design: each half-iteration is one edges⋈state hash join
+    (edges pre-partitioned+persisted once) + one partial-aggregated
+    groupBy — the same narrow-state Pregel shape as PageRank, except
+    authority and hub updates alternate join sides (dst then src), so
+    persisting edges ONCE serves both directions."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cnt = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + F.col("n_chars")) % cnt).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + F.col("n_chars")) % cnt).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    h = nodes.withColumn("h", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(2):
+        a_in = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        a = nodes.join(a_in, nodes["node"] == a_in["dst"], "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("bigint").alias("a")
+        )
+        h_in = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        h = nodes.join(h_in, nodes["node"] == h_in["src"], "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("bigint").alias("h")
+        )
+    return a.join(h, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("a").alias("auth"),
+        F.col("h").alias("hub"),
+    )
+
+
 # =========================================================================
 # Registration-order curation. The driver samples queries() in dict order
 # (round 1 recorded CORRECTNESS rows for exactly the first 50 entries), so
@@ -3868,7 +4216,14 @@ def dedup_within_doc_lines(spark, sf_dir):
 # =========================================================================
 
 _FRONT_ORDER = [
-    # round-3 batch 3: never driver-checked, all oracle-paired — they lead
+    # round-3 batch 4: never driver-checked, all oracle-paired — they lead
+    "crawl_redirect_resolve",
+    "crawl_conditional_get",
+    "crawl_adaptive_budget",
+    "crawl_host_pld",
+    "decontaminate_ngram_overlap",
+    "graph_hits_2iter",
+    # round-3 batch 3: never driver-checked, all oracle-paired
     "crawl_html_meta",
     "crawl_charset_decode",
     "warc_roundtrip",
