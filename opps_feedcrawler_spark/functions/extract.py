@@ -725,3 +725,68 @@ def sniff_decode_py(raw: bytes | None) -> dict:
 @pandas_udf(DECODED_STRUCT)
 def sniff_decode_udf(raw: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([sniff_decode_py(r) for r in raw])
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate extraction (round 3) — <link rel="alternate"
+# hreflang="…" href="…"> clusters the language variants of one page
+# (Google's documented hreflang protocol, public). A crawler uses the
+# cluster to dedup translations under one canonical group and to route
+# language-targeted recrawl; a training pipeline keeps it as parallel-text
+# alignment metadata.
+# ---------------------------------------------------------------------------
+
+HREFLANG_STRUCT = StructType(
+    [
+        StructField("hreflang", StringType()),
+        StructField("href", StringType()),
+    ]
+)
+
+
+class _HreflangExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag != "link":
+            return
+        a = {k.lower(): v for k, v in attrs if v is not None}
+        rels = (a.get("rel") or "").lower().split()
+        if "alternate" in rels and a.get("hreflang") and a.get("href"):
+            self.pairs.append((a["hreflang"], a["href"]))
+
+
+def extract_hreflang_py(
+    html: bytes | str | None, base_url: str | None
+) -> list[dict]:
+    """(hreflang, href) per alternate link, hrefs resolved against
+    base_url; document order, duplicates kept (mirrors _AnchorExtractor's
+    occurrence semantics)."""
+    doc = _decode(html)
+    if not doc:
+        return []
+    p = _HreflangExtractor()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        pass
+    out: list[dict] = []
+    for lang, href in p.pairs:
+        try:
+            absolute = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        if absolute:
+            out.append({"hreflang": lang, "href": absolute})
+    return out
+
+
+@pandas_udf(ArrayType(HREFLANG_STRUCT))
+def extract_hreflang_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_hreflang_py(h, b) for h, b in zip(html, base_url)],
+        dtype=object,
+    )

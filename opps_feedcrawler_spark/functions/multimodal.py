@@ -351,3 +351,48 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
     raise NotImplementedError(
         "resize requires PIL/libvips; not available in this environment"
     )
+
+
+def sniff_mime(blob) -> "Column":
+    """Magic-byte content-type sniffing over an opaque binary column —
+    the routing step a crawler runs on every fetched body BEFORE parsing
+    (Content-Type headers lie; WHATWG MIME-sniffing exists because of
+    it). Detects the formats the engine has downstream paths for: PNG
+    (image pipeline), WAV/RIFF (audio), PDF, gzip, XML/feeds, HTML;
+    everything else falls to application/octet-stream.
+
+    Pure JVM expressions: binary signatures compare hex prefixes, the
+    text-ish checks decode a bounded 256-byte head as ISO-8859-1 (total —
+    every byte maps, so no decode error on binary junk reaching the
+    HTML arm). No UDF, no shuffle — stays inside whole-stage codegen, so
+    sniffing 100 TB of bodies costs one map pass over bytes already in
+    memory for the parse that follows.
+    """
+    from pyspark.sql import functions as F
+
+    def hexp(n: int):
+        return F.hex(F.substring(blob, 1, n))
+
+    # regexp strip, not ltrim: Spark's ltrim removes only ' ' — leading
+    # \n\t before <!DOCTYPE is routine in real HTML
+    head = F.lower(
+        F.regexp_replace(
+            F.decode(F.substring(blob, 1, 256), "ISO-8859-1"), r"^\s+", ""
+        )
+    )
+    return (
+        F.when(hexp(8) == "89504E470D0A1A0A", F.lit("image/png"))
+        .when(hexp(5) == "255044462D", F.lit("application/pdf"))  # %PDF-
+        .when(
+            (hexp(4) == "52494646")  # RIFF
+            & (F.hex(F.substring(blob, 9, 4)) == "57415645"),  # WAVE
+            F.lit("audio/wav"),
+        )
+        .when(hexp(2) == "1F8B", F.lit("application/gzip"))
+        .when(head.startswith("<?xml"), F.lit("application/xml"))
+        .when(
+            head.startswith("<!doctype html") | head.startswith("<html"),
+            F.lit("text/html"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )

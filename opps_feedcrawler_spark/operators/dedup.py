@@ -495,3 +495,92 @@ def contamination_flags(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    span_len: int = 40,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated char-span detection — the fingerprint
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": exact suffix-array
+    substring dedup; the stride-sampled fixed-length variant is the
+    standard distributed stand-in). Every `stride` chars each doc emits a
+    `span_len`-char window; a span appearing in ≥2 DISTINCT docs marks
+    every occurrence position as duplicated. Returns
+    (id, n_dup_spans) for affected docs — callers cut or down-weight the
+    spans (memorization control), unlike doc-level MinHash which can only
+    drop whole documents.
+
+    Scale design: window emission is whole-stage codegen
+    (sequence+substring HOFs, ~len/stride rows per doc, no Python); the
+    dup set is one partial-aggregated groupBy(span) — at production scale
+    you'd group on xxhash64(span) to shuffle 8 bytes instead of 40 chars
+    (collision-safe to verify after) — then one hash join back. No
+    pairwise product anywhere.
+    """
+    t = F.lower(F.col(text_col))
+    spans_expr = F.expr(
+        f"transform(sequence(1, length(__t) - {span_len - 1}, {stride}), "
+        f"i -> substring(__t, i, {span_len}))"
+    )
+    s = (
+        docs.select(F.col(id_col).alias("id"), t.alias("__t"))
+        .filter(F.length("__t") >= span_len)
+        .select("id", F.explode(spans_expr).alias("span"))
+    )
+    dup = (
+        s.groupBy("span")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    return s.join(dup, "span").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 50,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mirror-site detection: host pairs sharing ≥min_shared identical
+    content fingerprints. Mirrors (same corpus served under two domains)
+    waste crawl budget and duplicate training text at whole-site scale —
+    catching them at the HOST level lets the scheduler drop one side
+    instead of deduping page by page after fetching both.
+
+    Scale design: pages collapse to DISTINCT (host, md5) first;
+    fingerprints on more than `max_hosts_per_fp` hosts are dropped BEFORE
+    pairing (empty pages / boilerplate shells would otherwise pair every
+    host with every host — the classic quadratic blowup; real mirrors
+    share many fps, so capping host-degree per fp costs no recall on
+    min_shared). The pair generation is a self-equi-join on fp whose
+    per-key fan-out is thereby bounded at max_hosts_per_fp².
+    """
+    fp = pages.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.countDistinct("host").alias("nh"))
+        .filter((F.col("nh") >= 2) & (F.col("nh") <= max_hosts_per_fp))
+        .select("fp")
+    )
+    f2 = fp.join(keep, "fp")
+    a, b = f2.alias("a"), f2.alias("b")
+    pairs = a.join(b, "fp").filter(F.col("a.host") < F.col("b.host"))
+    return (
+        pairs.select(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

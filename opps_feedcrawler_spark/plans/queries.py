@@ -4205,6 +4205,397 @@ def graph_hits_2iter(spark, sf_dir):
     )
 
 
+@_q(
+    "crawl_mime_sniff",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'application/pdf'
+             WHEN 2 THEN 'audio/wav'
+             WHEN 3 THEN 'text/html'
+             WHEN 4 THEN 'application/xml'
+             ELSE 'application/octet-stream' END AS mime
+    FROM documents
+    """,
+)
+def crawl_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing over fetched bodies
+    (functions/multimodal.sniff_mime) — Content-Type headers lie, so a
+    crawler routes on bytes (why WHATWG MIME-sniffing exists). Bodies are
+    REAL binary: PNG signature via unhex, '%PDF-' and RIFF/WAVE magics,
+    whitespace-prefixed '<!DOCTYPE html' (exercises the ltrim), '<?xml',
+    and plain text falling to octet-stream. Spark sniffs the actual
+    bytes; the oracle predicts each MIME algebraically from the arm —
+    independent of the sniffing code. Scale: pure codegen hex/prefix
+    compares on a bounded 256-byte head — no UDF, no shuffle, one map
+    pass over bytes already in memory for the parse that follows."""
+    from ..functions.multimodal import sniff_mime
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    txt = F.encode(F.col("text"), "UTF-8")
+    blob = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), txt))
+        .when(m == 1, F.concat(F.encode(F.lit("%PDF-1.7\n"), "UTF-8"), txt))
+        .when(
+            m == 2,
+            F.concat(
+                F.encode(F.lit("RIFF"), "UTF-8"),
+                F.unhex(F.lit("24080000")),
+                F.encode(F.lit("WAVE"), "UTF-8"),
+                txt,
+            ),
+        )
+        .when(
+            m == 3,
+            F.encode(
+                F.concat(F.lit("  <!DOCTYPE html><html><body>"), F.col("text")),
+                "UTF-8",
+            ),
+        )
+        .when(
+            m == 4,
+            F.encode(
+                F.concat(F.lit('<?xml version="1.0"?><rss>'), F.col("text")),
+                "UTF-8",
+            ),
+        )
+        .otherwise(txt)
+    )
+    return d.select("doc_id", sniff_mime(blob).alias("mime"))
+
+
+@_q(
+    "crawl_mirror_hosts",
+    """
+    WITH pages AS (
+      SELECT source AS host, text FROM documents
+      UNION ALL
+      SELECT source || '-m', text FROM documents WHERE doc_id % 3 = 0),
+    fp AS (SELECT DISTINCT host, md5(text) AS fp FROM pages),
+    keep AS (SELECT fp FROM fp GROUP BY fp
+             HAVING COUNT(DISTINCT host) BETWEEN 2 AND 50),
+    f2 AS (SELECT f.host, f.fp FROM fp f JOIN keep USING (fp))
+    SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.host < b.host
+    GROUP BY a.host, b.host
+    HAVING COUNT(*) >= 2
+    """,
+)
+def crawl_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection (operators/dedup.mirror_host_pairs): host
+    pairs sharing ≥2 identical page fingerprints. Every third page is
+    mirrored onto a '<source>-m' twin host, so each source pairs with its
+    mirror; the ORACLE IS GENERAL (it re-fingerprints and re-joins in
+    SQL), so organically colliding hosts would be caught identically.
+    Catching mirrors at the HOST level lets the scheduler drop a whole
+    domain instead of paying fetch+dedup per page. Scale: DISTINCT
+    (host, md5) first; fps on >50 hosts are dropped BEFORE the self-join
+    (boilerplate shells would otherwise pair all hosts quadratically),
+    bounding per-key fan-out."""
+    from ..operators.dedup import mirror_host_pairs
+
+    d = T(spark, sf_dir, "documents")
+    pages = d.select(F.col("source").alias("host"), "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.col("source"), F.lit("-m")).alias("host"), "text"
+        )
+    )
+    return mirror_host_pairs(pages, min_shared=2, max_hosts_per_fp=50)
+
+
+@_q(
+    "dedup_span_fingerprints",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE length(text) >= 40),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 39, 10)) AS i
+            FROM t),
+    spans AS (SELECT doc_id, substr(t, i, 40) AS span FROM idx),
+    dup AS (SELECT span FROM spans GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, COUNT(*) AS n_dup_spans
+    FROM spans s JOIN dup USING (span)
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_fingerprints(spark, sf_dir):
+    """Cross-document duplicated char-span detection
+    (operators/dedup.dup_spans) — the stride-sampled fingerprint
+    approximation of ExactSubstr dedup (Lee et al. 2022): 40-char windows
+    every 10 chars; a window in ≥2 distinct docs marks each occurrence.
+    Span-level dedup cuts memorized boilerplate INSIDE documents that
+    doc-level MinHash can only drop whole. The corpus's repetitive
+    synthetic text produces natural cross-doc spans, and the ORACLE IS
+    GENERAL (re-shingles in SQL). Scale: window emission is codegen
+    sequence+substring HOFs; one partial-aggregated groupBy(span) (at
+    production scale group on xxhash64(span) — 8-byte shuffle) + one join
+    back; no pairwise product."""
+    from ..operators.dedup import dup_spans
+
+    out = dup_spans(
+        T(spark, sf_dir, "documents"), span_len=40, stride=10
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_dup_spans")
+
+
+@_q(
+    "events_funnel_conversion",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT DISTINCT p.user_id, p.event_id
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+    SELECT pu.user_id, pu.n_purchases,
+           CAST(COALESCE(cv.n_converted, 0) AS BIGINT) AS n_converted
+    FROM (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id) pu
+    LEFT JOIN (SELECT user_id, COUNT(*) AS n_converted FROM conv
+               GROUP BY user_id) cv USING (user_id)
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Funnel analysis: purchases preceded by a click within 1 hour, per
+    user — the classic attribution/conversion query every analytics
+    engine ships. The Spark plan does NOT run the naive per-user range
+    join: click and purchase streams are bucketed to the hour and joined
+    EQUI on (user, bucket) with purchases exploded to their two candidate
+    buckets (h, h-1) — any click within 1 hour of a purchase provably
+    lands in one of the two — then the exact interval predicate filters
+    residuals. That turns an unbounded time-range join into a bounded
+    hash join, the standard interval-banding trick for event streams
+    whose per-user history is huge. Oracle: the direct range join (tiny
+    at oracle scale)."""
+    e = T(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("cb"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("pb"),
+    )
+    pe = p.withColumn(
+        "b", F.explode(F.array(F.col("pb"), F.col("pb") - 1))
+    )
+    conv = (
+        pe.join(c, (pe["user_id"] == c["cu"]) & (pe["b"] == c["cb"]))
+        .filter(
+            (F.col("c_ts") <= F.col("ts"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id", "event_id")
+        .distinct()
+    )
+    pu = p.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+    cv = conv.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_converted"))
+    return pu.join(cv, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        F.coalesce("n_converted", F.lit(0)).cast("bigint").alias("n_converted"),
+    )
+
+
+@_q(
+    "orders_retention_cohort",
+    """
+    WITH first AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey)
+    SELECT f.cohort,
+           CAST(datediff('month', f.cohort,
+                         date_trunc('month', o.o_orderdate)) AS INT)
+             AS months_since,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN first f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def orders_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix — customers bucketed by first-order month,
+    counted per months-since-cohort: the standard retention triangle
+    every growth dashboard computes. months_between on month-truncated
+    timestamps is exactly integral, so the INT cast is lossless and both
+    engines agree bit-for-bit. Scale: one groupBy(custkey) MIN for the
+    cohort (partial agg), one hash join back (AQE broadcasts the cohort
+    table when small; at 100 TB both sides shuffle on custkey once), one
+    (cohort, months) aggregate over a bounded ~months² result."""
+    o = T(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    j = o.join(first, "o_custkey")
+    return j.groupBy(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+        )
+        .cast("int")
+        .alias("months_since"),
+    ).agg(F.countDistinct("o_custkey").alias("n_customers"))
+
+
+@_q(
+    "graph_triangle_stats",
+    f"""
+    WITH de AS ({_pr_edges_sql('(SELECT COUNT(*) FROM documents)')}),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM de WHERE src <> dst),
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node)
+    SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT COUNT(*) FROM und ab
+              JOIN und bc ON ab.b = bc.a
+              JOIN und ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles
+    """,
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Triangle counting over the undirected closure of the synthetic
+    link graph — the classic graph-analytics benchmark op (clustering
+    coefficient's numerator; web-graph triangles indicate community/spam
+    structure). Edges are oriented low-id→high-id so each triangle is
+    counted exactly once by the two-hop path join + closing-edge join.
+    Integer counts hash-match the oracle exactly.
+
+    Scale design: the node-iterator join shape — und⋈und on the pivot
+    then one closing hash semi-equi-join — shuffles only (a,b) id pairs.
+    At web scale you orient edges by DEGREE (low-degree node first)
+    instead of id, which provably bounds per-key fan-out to O(sqrt(m))
+    (Suri & Vassilvitskii 2011); id-orientation is used here because the
+    synthetic graph is near-regular (out-degree 2), making both
+    orientations equivalent. n_wedges = Σ d(d−1)/2 comes from a degree
+    table, never enumerated."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cnt = docs.count()
+    de = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + F.col("n_chars")) % cnt).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("n_chars")) % cnt).alias("dst"),
+        )
+    )
+    und = (
+        de.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    n_tri = (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return n_edges.crossJoin(n_wedges).crossJoin(n_tri)
+
+
+@_q(
+    "crawl_hreflang_alternates",
+    f"""
+    SELECT doc_id, 'en' AS hreflang,
+           {_DOC_URL_SQL} || '?lang=en' AS href
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'de',
+           'http://' || source || '.example/de/doc/'
+             || CAST(doc_id AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'x-default', {_DOC_URL_SQL}
+    FROM documents
+    """,
+)
+def crawl_hreflang_alternates(spark, sf_dir):
+    """hreflang alternate-link extraction
+    (functions/extract.extract_hreflang_udf): <link rel="alternate"
+    hreflang=…> clusters the language variants of one page (Google's
+    documented hreflang protocol). A crawler dedups translations under
+    one canonical group; a training pipeline keeps the cluster as
+    parallel-text alignment metadata. Each page declares en (relative
+    href — must resolve against the page URL), de (absolute), and
+    x-default; Spark parses the REAL HTML, the oracle predicts the
+    resolved triples algebraically. Scale: one Arrow-batched parse per
+    page + explode; output is narrow (id, lang, url)."""
+    from ..functions.extract import extract_hreflang_udf
+
+    d = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="en" href="/doc/'),
+        i,
+        F.lit('?lang=en"><link rel="alternate" hreflang="de" href="http://'),
+        F.col("source"),
+        F.lit(".example/de/doc/"),
+        i,
+        F.lit('"><link rel="alternate" hreflang="x-default" href="/doc/'),
+        i,
+        F.lit('"></head><body>x</body></html>'),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(extract_hreflang_udf(html, F.col("url"))).alias("h"),
+    ).select(
+        "doc_id",
+        F.col("h.hreflang").alias("hreflang"),
+        F.col("h.href").alias("href"),
+    )
+
+
+@_q(
+    "text_length_histogram",
+    """
+    SELECT CAST(length(bin(n_chars)) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Log2-bucketed document-length histogram — the first diagnostic a
+    corpus pipeline runs (length filters, chunk-budget planning, spotting
+    truncation spikes). The bucket is the BIT LENGTH of n_chars
+    (length of its binary representation = floor(log2)+1), computed in
+    exact integer string ops on BOTH engines — float log2 at bucket
+    boundaries (exact powers of two) could round differently across
+    engines; bit length cannot. Scale: map-side bucket + one tiny
+    aggregate; fully codegen."""
+    d = T(spark, sf_dir, "documents")
+    bucket = F.length(F.expr("bin(n_chars)")).cast("int")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # =========================================================================
 # Registration-order curation. The driver samples queries() in dict order
 # (round 1 recorded CORRECTNESS rows for exactly the first 50 entries), so
@@ -4216,7 +4607,16 @@ def graph_hits_2iter(spark, sf_dir):
 # =========================================================================
 
 _FRONT_ORDER = [
-    # round-3 batch 4: never driver-checked, all oracle-paired — they lead
+    # round-3 batch 5: never driver-checked, all oracle-paired — they lead
+    "crawl_mime_sniff",
+    "crawl_mirror_hosts",
+    "dedup_span_fingerprints",
+    "events_funnel_conversion",
+    "orders_retention_cohort",
+    "graph_triangle_stats",
+    "crawl_hreflang_alternates",
+    "text_length_histogram",
+    # round-3 batch 4: never driver-checked, all oracle-paired
     "crawl_redirect_resolve",
     "crawl_conditional_get",
     "crawl_adaptive_budget",
