@@ -4597,6 +4597,378 @@ def text_length_histogram(spark, sf_dir):
 
 
 # =========================================================================
+# Round-3 batch 6: near-dup cluster resolution, unicode normalization,
+# per-language quality gating, corpus n-gram stats, URL shape stats,
+# embedding quantization — the remaining training-data-pipeline surface.
+# =========================================================================
+
+
+@_q(
+    "dedup_cluster_canonical",
+    r"""
+    WITH ws AS (
+      SELECT DISTINCT doc_id AS id, w.word
+      FROM documents,
+           UNNEST(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+             AS w(word)
+      WHERE doc_id < 150 AND length(w.word) > 0),
+    sz AS (SELECT id, COUNT(*) AS sz FROM ws GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM ws a JOIN ws b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    l1 AS (SELECT p.node, LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+           FROM l0 p LEFT JOIN edges e ON e.dst = p.node
+           LEFT JOIN l0 n ON n.node = e.src GROUP BY p.node, p.label),
+    l2 AS (SELECT p.node, LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+           FROM l1 p LEFT JOIN edges e ON e.dst = p.node
+           LEFT JOIN l1 n ON n.node = e.src GROUP BY p.node, p.label),
+    l3 AS (SELECT p.node, LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+           FROM l2 p LEFT JOIN edges e ON e.dst = p.node
+           LEFT JOIN l2 n ON n.node = e.src GROUP BY p.node, p.label),
+    canon AS (
+      SELECT label, node AS canonical_id FROM (
+        SELECT l.label, l.node,
+               ROW_NUMBER() OVER (PARTITION BY l.label
+                                  ORDER BY d.n_chars DESC, l.node ASC) AS rn
+        FROM l3 l JOIN documents d ON d.doc_id = l.node) t WHERE rn = 1)
+    SELECT l.node AS doc_id, c.canonical_id AS canonical_id,
+           l.node = c.canonical_id AS is_canonical
+    FROM l3 l JOIN canon c ON c.label = l.label
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTER RESOLUTION — the step every dedup pipeline needs
+    after pair generation: pairs → connected components → pick ONE
+    canonical document per cluster (longest text, tie-break lowest id),
+    so the keep/drop decision is consistent across the whole cluster
+    rather than per-pair (per-pair keep-lowest breaks on chains A~B~C).
+    Pairs here are exact word-Jaccard ≥ 0.5 (candidate-gated to
+    doc_id<150 like dedup_ngram_jaccard; the ungated scale path feeds
+    MinHash+LSH pairs into the identical CC+canon tail). Components via
+    3 synchronous min-label iterations — integer MIN is exact, so the
+    cross-engine hash matches bit-for-bit; production loops to fixpoint.
+    Scale: per iteration one edges⋈labels join + groupBy MIN (map-side
+    partial); canon is one window over components (skew-free: near-dup
+    clusters are small by construction — a giant component would mean
+    the threshold is wrong, which the cluster-size histogram exposes)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dedup.jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        incoming = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = labels.join(incoming, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+        )
+    stats = labels.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    canon = (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("node").alias("canonical_id"))
+    )
+    return labels.join(canon, "label").select(
+        F.col("node").alias("doc_id"),
+        "canonical_id",
+        (F.col("node") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+from pyspark.sql.types import StringType as _StringType
+
+
+@F.pandas_udf(_StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+@_q(
+    "text_nfc_normalize",
+    """
+    SELECT doc_id,
+           length(text || 'e' || chr(769) || 'x') AS raw_len,
+           length(nfc_normalize(text || 'e' || chr(769) || 'x')) AS nfc_len
+    FROM documents
+    """,
+)
+def text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization — mandatory before any hashing/dedup of
+    multi-source web text (the same word arrives precomposed from one
+    site and decomposed from another; C4/Gopher pipelines NFC first so
+    fingerprints agree). The corpus is ASCII, so a decomposed 'e'+U+0301
+    is appended to every doc to force real composition work: the engine
+    must shrink it to one codepoint (raw_len = nfc_len + 1). Spark has
+    no built-in NFC → Arrow-batched pandas UDF over unicodedata (the
+    sanctioned slow path); DuckDB checks with its native nfc_normalize —
+    two independent NFC implementations agreeing per row. BMP-only by
+    construction (Spark length counts UTF-16 units, DuckDB codepoints —
+    they agree only below U+10000, which the corpus probe guarantees)."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("e\u0301x"))
+    return d.select(
+        "doc_id",
+        F.length(raw).alias("raw_len"),
+        F.length(_nfc_udf(raw)).alias("nfc_len"),
+    )
+
+
+@_q(
+    "text_quality_gate_by_lang",
+    r"""
+    WITH wc AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+               AS wc
+      FROM documents),
+    r AS (SELECT doc_id, lang, wc,
+                 PERCENT_RANK() OVER (PARTITION BY lang ORDER BY wc, doc_id) AS pr
+          FROM wc)
+    SELECT doc_id, lang, wc, round(pr, 6) AS pr FROM r WHERE pr >= 0.5
+    """,
+)
+def text_quality_gate_by_lang(spark, sf_dir):
+    """PER-LANGUAGE quality gating: keep documents at or above their own
+    language's median length. A single global threshold over a mixed
+    corpus silently deletes low-resource languages (their docs are
+    systematically shorter); percentile-within-group is the standard fix
+    (Gopher applies its quality rules per-language for the same reason).
+    percent_rank is (rank-1)/(n-1) over exact integers with a doc_id
+    tie-break — deterministic and identical across engines. Scale: one
+    shuffle on lang; skew (one language dominating) is the known hazard
+    → production uses the same gate over (lang, salt) two-phase if a
+    partition exceeds memory, trading exactness of the boundary row."""
+    d = T(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.lower(normalize_ws(F.col("text"))), " "))
+    w = Window.partitionBy("lang").orderBy("wc", "doc_id")
+    return (
+        d.select("doc_id", "lang", wc.alias("wc"))
+        .withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") >= 0.5)
+    )
+
+
+@_q(
+    "text_bigram_topk",
+    r"""
+    WITH w AS (
+      SELECT list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> length(x) > 0) AS w
+      FROM documents),
+    b AS (
+      SELECT unnest(list_transform(generate_series(2, len(w)),
+                                   i -> w[i-1] || ' ' || w[i])) AS bigram
+      FROM w),
+    c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram)
+    SELECT bigram, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT bigram, n, ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rnk
+      FROM c) t
+    WHERE rnk <= 20
+    """,
+)
+def text_bigram_topk(spark, sf_dir):
+    """Corpus-level top-k bigrams — the raw material for boilerplate
+    phrase detection and stopword-list induction over a crawl (the most
+    frequent bigrams in web text are navigation chrome: 'all rights',
+    'rights reserved'). Bigrams via transform(sequence(2,size)) over the
+    word array — JVM-side, no explode-then-self-join on position (which
+    would shuffle the corpus twice); the when-guard avoids Spark's
+    descending sequence(2,1) on 1-word docs. ONE shuffle (bigram
+    groupBy, map-side combine), then a 20-row top-k: rank over the tiny
+    aggregated set, never a global sort of raw bigrams. At 100 TB the
+    groupBy output is bounded by distinct-bigram count; a count>=N
+    pre-filter with a partial-agg threshold drops the hapax tail before
+    the final shuffle if even that is too wide."""
+    d = T(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(normalize_ws(F.col("text"))), " "),
+        lambda x: F.length(x) > 0,
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr("transform(sequence(2, size(w)), i -> concat(w[i-2], ' ', w[i-1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(words.alias("w"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@_q(
+    "crawl_url_depth_stats",
+    """
+    WITH urls AS (
+      SELECT source AS host,
+             'http://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+      UNION ALL
+      SELECT source AS host,
+             'http://' || source || '.example/cal/2024/'
+               || CAST(doc_id % 12 + 1 AS VARCHAR) || '/'
+               || CAST(doc_id % 28 + 1 AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT source AS host,
+             'http://' || source || '.example/page?sid='
+               || md5(CAST(doc_id AS VARCHAR)) AS url
+      FROM documents WHERE doc_id % 5 = 0),
+    p AS (
+      SELECT host, url,
+             string_split(regexp_replace(url, '^https?://[^/]+', ''), '?')[1] AS path,
+             CASE WHEN url LIKE '%?%' THEN TRUE ELSE FALSE END AS has_query
+      FROM urls)
+    SELECT length(path) - length(replace(path, '/', '')) AS depth,
+           has_query,
+           COUNT(DISTINCT url) AS n_urls,
+           COUNT(DISTINCT host) AS n_hosts
+    FROM p GROUP BY 1, 2
+    """,
+)
+def crawl_url_depth_stats(spark, sf_dir):
+    """URL path-depth × has-query profile of the frontier — the shape
+    statistic crawl planners use to bound trap growth (depth caps and
+    query-string budgets are standard Mercator-era defenses; depth>8 or
+    query-heavy hosts get demoted before they soak the fetch budget).
+    Input is the same three-way synthetic URL mix as template mining
+    (doc pages, calendar trap, session-id trap). Pure JVM string ops
+    (regexp_replace/split/length) map-side; ONE shuffle for the
+    (depth,has_query) aggregate whose cardinality is tiny; distinct
+    counts are exact (expand+hash) — at frontier scale the same rollup
+    runs on approx_count_distinct with the exact path kept for audits."""
+    d = _doc_urls(spark, sf_dir)
+    urls = (
+        d.select(F.col("source").alias("host"), "url")
+        .unionAll(
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                F.col("source").alias("host"),
+                F.concat(
+                    F.lit("http://"), F.col("source"), F.lit(".example/cal/2024/"),
+                    (F.col("doc_id") % 12 + 1).cast("string"), F.lit("/"),
+                    (F.col("doc_id") % 28 + 1).cast("string"),
+                ).alias("url"),
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                F.col("source").alias("host"),
+                F.concat(
+                    F.lit("http://"), F.col("source"), F.lit(".example/page?sid="),
+                    F.md5(F.col("doc_id").cast("string")),
+                ).alias("url"),
+            )
+        )
+    )
+    path = F.split(F.regexp_replace("url", "^https?://[^/]+", ""), r"\?")[0]
+    return (
+        urls.select(
+            "host",
+            "url",
+            (F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))).alias(
+                "depth"
+            ),
+            F.col("url").contains("?").alias("has_query"),
+        )
+        .groupBy("depth", "has_query")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               / 127.0 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+      FROM s WHERE scale > 0)
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_sum(q) AS INT) AS sum_q,
+           list_min(q) AS min_q, list_max(q) AS max_q
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization — the standard 4x memory
+    cut that makes a 100 TB embedding corpus ANN-searchable in RAM
+    (scale = max|v|/127, q = round-half-up(v/scale); same scheme FAISS
+    SQ8 uses, public). All array math is JVM higher-order functions
+    (transform/aggregate/array_min/max) — zero Python, codegen'd,
+    map-side only, NO shuffle at all. Cross-engine exactness: float→
+    double widening is exact, both engines divide the same doubles and
+    floor(x+0.5) has no rounding-mode ambiguity (unlike round()); the
+    checked aggregates (sum/min/max of ints) are exact. Zero-vectors
+    (scale=0) are filtered on both sides."""
+    e = T(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = e.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    # round(scale) must live in a SEPARATE select below: aliasing it to the
+    # same name "scale" alongside q would let CollapseProject resolve the
+    # lambda's scale reference to the ROUNDED value (observed: off-by-one q
+    # at .5 boundaries vs the oracle, which quantizes with full precision).
+    out = s.select(
+        "vec_id",
+        F.col("scale"),
+        F.aggregate(q, F.lit(0), lambda acc, x: acc + x).cast("int").alias("sum_q"),
+        F.array_min(q).alias("min_q"),
+        F.array_max(q).alias("max_q"),
+    )
+    return out.select(
+        "vec_id", F.round("scale", 6).alias("scale"), "sum_q", "min_q", "max_q"
+    )
+
+
+# =========================================================================
 # Registration-order curation. The driver samples queries() in dict order
 # (round 1 recorded CORRECTNESS rows for exactly the first 50 entries), so
 # the entries with the least prior driver evidence — the crawl-extraction
@@ -4660,6 +5032,15 @@ _FRONT_ORDER = [
     "null_safe_join_values",
     "dedup_title_levenshtein",
     "text_bpe_token_count",
+    # round-3 batch 6: never driver-checked, all oracle-paired (the last
+    # two sit just past the 50-slot window this round; round 4 leads with
+    # whatever has no CORRECTNESS row yet, per the round-2 playbook)
+    "dedup_cluster_canonical",
+    "embedding_quantize_int8",
+    "text_quality_gate_by_lang",
+    "text_bigram_topk",
+    "crawl_url_depth_stats",
+    "text_nfc_normalize",
     # rows-only entries: their clean runs are worth re-recording every
     # round (the oracle can't check them, so driver "ran clean" is the
     # only per-round evidence)
