@@ -89,6 +89,9 @@ HEADLINE_QUERIES = [
     "warc_roundtrip",
     "crawl_url_template_mining",
     "dedup_within_doc_lines",
+    # round-3 batch 6: dedup cluster resolution + quantization planes
+    "dedup_cluster_canonical",
+    "embedding_quantize_int8",
 ]
 
 

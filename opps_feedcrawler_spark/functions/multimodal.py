@@ -15,10 +15,17 @@ partition-preserving mapInPandas. Codec status per format:
   walker (RIFF+WAVE magic, fmt/data chunk scan, little-endian field
   extraction per the canonical WAVE format) and ``encode_wav`` a minimal
   spec-valid PCM encoder used by tests and the driver fixture.
-- **JPEG / mp3 / video: declared stubs.** The container has no
-  libjpeg/ffmpeg; ``decode_image_meta``/``decode_audio_meta`` fall back
-  to deterministic fake metadata for them and ``decode_image_pixels``
-  raises NotImplementedError where a real deploy would call PIL/libvips.
+- **JPEG metadata: REAL.** ``parse_jpeg_meta`` is a stdlib-only marker
+  walker (ITU T.81 segment syntax: SOI, length-prefixed segments, SOFn
+  frame-header field extraction) and ``encode_jpeg`` a minimal
+  structurally-valid JFIF writer (APP0/DQT/SOF0/DHT/SOS with byte-stuffed
+  entropy payload) used by tests and the driver fixture. Dimension
+  extraction from SOFn is exactly what PIL does for ``Image.size`` — no
+  entropy decode needed.
+- **JPEG pixels / mp3 / video: declared stubs.** The container has no
+  libjpeg/ffmpeg; ``decode_audio_meta`` falls back to deterministic fake
+  metadata for non-WAV and ``decode_image_pixels`` raises
+  NotImplementedError where a real deploy would call PIL/libvips.
   Swapping a stub for a real decoder changes ONE pure function; the
   distributed plan is already correct.
 
@@ -101,15 +108,121 @@ def parse_png_meta(blob: bytes) -> dict:
     }
 
 
-def decode_image_meta(blob: bytes) -> dict:
-    """Image metadata decode. PNG is REAL (parse_png_meta — structural
-    parse with CRC check); JPEG and unknown formats fall back to a
-    deterministic declared STUB (no libjpeg in this container — a real
-    deployment replaces the fallback with PIL.Image.open(...))."""
+# ITU T.81 Annex K.1 example luminance quantization table (public spec).
+_JPEG_STD_LUMA_DQT = bytes(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+
+#: SOFn markers carrying a frame header (T.81 Table B.1): C0-C3, C5-C7,
+#: C9-CB, CD-CF — i.e. every 0xCn except DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+
+def _jpeg_segment(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def encode_jpeg(width: int, height: int, payload: bytes) -> bytes:
+    """REAL minimal JFIF writer (stdlib only): SOI, APP0 (JFIF 1.1), DQT
+    (T.81 Annex K luminance table), baseline SOF0 with big-endian
+    dimensions and one grayscale component, a minimal DHT, SOS, the
+    ``payload`` as byte-stuffed entropy data (0xFF -> 0xFF 0x00 per
+    B.1.1.5 so no byte sequence aliases a marker), EOI. Every segment is
+    structurally valid per the marker syntax, so any JPEG header parser
+    (PIL, exiftool, this module's parse_jpeg_meta) extracts the same
+    dimensions; only the entropy stream is synthetic."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("JPEG dimensions must be in 1..65535")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + _JPEG_STD_LUMA_DQT
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    # one DC table with a single 2-bit code for symbol 0
+    dht = b"\x00" + bytes([0, 1] + [0] * 14) + b"\x00"
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    stuffed = payload.replace(b"\xff", b"\xff\x00")
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xDB, dqt)
+        + _jpeg_segment(0xC0, sof0)
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, sos)
+        + stuffed
+        + b"\xff\xd9"
+    )
+
+
+def parse_jpeg_meta(blob: bytes) -> dict:
+    """REAL JPEG structural parser (stdlib only): walks the T.81 marker
+    stream from SOI — skipping fill bytes, standalone markers (TEM,
+    RSTn) and length-prefixed segments — to the first SOFn frame header
+    and extracts precision/height/width/component-count from their fixed
+    big-endian offsets within it (B.2.2). This is the same
+    header-only dimension extraction image libraries perform for
+    ``.size``; no entropy decode is attempted. Raises ValueError on
+    malformed input: missing SOI, segment overrun, SOS or EOI before any
+    SOF, or truncation."""
     n = len(blob)
+    if n < 4 or blob[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    i = 2
+    while i + 2 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {i}")
+        j = i
+        while j + 1 < n and blob[j + 1] == 0xFF:  # fill bytes (B.1.1.2)
+            j += 1
+        if j + 1 >= n:
+            break
+        marker = blob[j + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI: bare
+            i = j + 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if j + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", blob[j + 2 : j + 4])
+        if seglen < 2 or j + 2 + seglen > n:
+            raise ValueError("JPEG segment overruns blob")
+        if marker in _JPEG_SOF_MARKERS:
+            if seglen < 8:
+                raise ValueError("JPEG SOF segment too short")
+            precision = blob[j + 4]
+            height, width = struct.unpack(">HH", blob[j + 5 : j + 9])
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "n_components": blob[j + 9],
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:
+            raise ValueError("JPEG SOS reached before any SOF frame header")
+        i = j + 2 + seglen
+    raise ValueError("JPEG truncated before SOF")
+
+
+def decode_image_meta(blob: bytes) -> dict:
+    """Image metadata decode. PNG and JPEG are REAL (parse_png_meta —
+    structural parse with CRC check; parse_jpeg_meta — T.81 marker walk
+    to SOFn); unknown formats fall back to a deterministic declared STUB
+    (a real deployment replaces the fallback with PIL.Image.open(...))."""
+    n = len(blob)
+    h = int.from_bytes(blob[:8].ljust(8, b"\0"), "little")
     if blob[:8] == _PNG_SIG:
         meta = parse_png_meta(blob)
-        h = int.from_bytes(blob[:8].ljust(8, b"\0"), "little")
         return {
             "n_bytes": n,
             "format": "png",
@@ -118,12 +231,20 @@ def decode_image_meta(blob: bytes) -> dict:
             "n_frames": 1,
             "sample_hash": (h % (1 << 62)),
         }
-    fmt = "jpeg" if blob[:2] == b"\xff\xd8" else "unknown"
+    if blob[:2] == b"\xff\xd8":
+        meta = parse_jpeg_meta(blob)
+        return {
+            "n_bytes": n,
+            "format": "jpeg",
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": 1,
+            "sample_hash": (h % (1 << 62)),
+        }
     # deterministic pseudo-dimensions derived from content, not random
-    h = int.from_bytes(blob[:8].ljust(8, b"\0"), "little")
     return {
         "n_bytes": n,
-        "format": fmt,
+        "format": "unknown",
         "width": 16 + (n % 640),
         "height": 16 + ((n * 7) % 480),
         "n_frames": 1,
@@ -382,6 +503,7 @@ def sniff_mime(blob) -> "Column":
     )
     return (
         F.when(hexp(8) == "89504E470D0A1A0A", F.lit("image/png"))
+        .when(hexp(2) == "FFD8", F.lit("image/jpeg"))  # SOI
         .when(hexp(5) == "255044462D", F.lit("application/pdf"))  # %PDF-
         .when(
             (hexp(4) == "52494646")  # RIFF

@@ -2816,7 +2816,22 @@ def _duck_be32_from_hex(hx_col: str, start: int) -> str:
     )
 
 
-from ..sources.fixtures import PNG_FIXTURE_PATH, WAV_FIXTURE_PATH
+def _duck_be_from_hex(hx_col: str, start: int, ndigits: int) -> str:
+    """Big-endian unsigned int from `ndigits` hex chars of a hex()'d blob
+    starting at 1-based char offset `start` — the width-generic form of
+    _duck_be32_from_hex (JPEG SOF dimensions are big-endian uint16)."""
+    return " + ".join(
+        f"strpos('123456789ABCDEF', substr({hx_col}, {start + i}, 1))"
+        f" * {16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
+    )
+
+
+from ..sources.fixtures import (
+    JPEG_FIXTURE_PATH,
+    PNG_FIXTURE_PATH,
+    WAV_FIXTURE_PATH,
+)
 
 
 @_q(
@@ -2851,6 +2866,44 @@ def multimodal_image_meta(spark, sf_dir):
     # partitions (no blob shuffle — the rule all blob plans here follow)
     joined = png.join(F.broadcast(d), "doc_id").select(
         "url", F.col("png").alias("blob")
+    )
+    return image_metadata(joined, "url", "blob").drop("sample_hash")
+
+
+@_q(
+    "multimodal_jpeg_meta",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(octet_length(jpeg) AS BIGINT) AS n_bytes,
+           CASE WHEN substr(hex(jpeg), 1, 4) = 'FFD8'
+                 AND substr(hex(jpeg), 179, 4) = 'FFC0'
+                THEN 'jpeg' ELSE 'unknown' END AS format,
+           CAST({_duck_be_from_hex('hex(jpeg)', 193, 4)} AS INT) AS width,
+           CAST({_duck_be_from_hex('hex(jpeg)', 189, 4)} AS INT) AS height,
+           1 AS n_frames
+    FROM documents
+    JOIN read_parquet('{JPEG_FIXTURE_PATH}') USING (doc_id)
+    """,
+)
+def multimodal_jpeg_meta(spark, sf_dir):
+    """B35 third media leg with a REAL decoder: the deterministic JFIF
+    fixture (sources/fixtures.py — one structurally-valid baseline JPEG
+    per doc_id, T.81 marker syntax via the real encode_jpeg) is parsed
+    by parse_jpeg_meta, a marker walker that extracts dimensions from
+    the SOF0 frame header exactly as image libraries do for .size. The
+    oracle reads the SAME parquet bytes and re-extracts the SOI magic,
+    the SOF0 marker, and the big-endian height/width at the encoder's
+    canonical fixed offsets (SOI 2 + APP0 18 + DQT 69 puts SOF0 at byte
+    89) independently in SQL — same non-circular pattern as the PNG and
+    WAV legs. Blob plan rule holds: metadata side broadcast, blobs never
+    shuffle."""
+    from ..functions.multimodal import image_metadata
+    from ..sources.fixtures import ensure_jpeg_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    jpg = spark.read.parquet(ensure_jpeg_fixture())
+    joined = jpg.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("jpeg").alias("blob")
     )
     return image_metadata(joined, "url", "blob").drop("sample_hash")
 
@@ -4209,12 +4262,13 @@ def graph_hits_2iter(spark, sf_dir):
     "crawl_mime_sniff",
     """
     SELECT doc_id,
-           CASE doc_id % 6
+           CASE doc_id % 7
              WHEN 0 THEN 'image/png'
              WHEN 1 THEN 'application/pdf'
              WHEN 2 THEN 'audio/wav'
              WHEN 3 THEN 'text/html'
              WHEN 4 THEN 'application/xml'
+             WHEN 5 THEN 'image/jpeg'
              ELSE 'application/octet-stream' END AS mime
     FROM documents
     """,
@@ -4225,7 +4279,7 @@ def crawl_mime_sniff(spark, sf_dir):
     crawler routes on bytes (why WHATWG MIME-sniffing exists). Bodies are
     REAL binary: PNG signature via unhex, '%PDF-' and RIFF/WAVE magics,
     whitespace-prefixed '<!DOCTYPE html' (exercises the ltrim), '<?xml',
-    and plain text falling to octet-stream. Spark sniffs the actual
+    a JPEG SOI+APP0 prefix, and plain text falling to octet-stream. Spark sniffs the actual
     bytes; the oracle predicts each MIME algebraically from the arm —
     independent of the sniffing code. Scale: pure codegen hex/prefix
     compares on a bounded 256-byte head — no UDF, no shuffle, one map
@@ -4233,7 +4287,7 @@ def crawl_mime_sniff(spark, sf_dir):
     from ..functions.multimodal import sniff_mime
 
     d = T(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     txt = F.encode(F.col("text"), "UTF-8")
     blob = (
         F.when(m == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), txt))
@@ -4261,6 +4315,7 @@ def crawl_mime_sniff(spark, sf_dir):
                 "UTF-8",
             ),
         )
+        .when(m == 5, F.concat(F.unhex(F.lit("FFD8FFE0")), txt))  # JPEG SOI+APP0
         .otherwise(txt)
     )
     return d.select("doc_id", sniff_mime(blob).alias("mime"))
@@ -5039,6 +5094,7 @@ _FRONT_ORDER = [
     "embedding_quantize_int8",
     "text_quality_gate_by_lang",
     "text_bigram_topk",
+    "multimodal_jpeg_meta",
     "crawl_url_depth_stats",
     "text_nfc_normalize",
     # rows-only entries: their clean runs are worth re-recording every
@@ -5118,10 +5174,12 @@ _apply_registration_order()
 # callable also ensures it, so a failure here only matters if the oracle
 # runs first.
 try:
+    from ..sources.fixtures import ensure_jpeg_fixture as _ensure_jpeg_fixture
     from ..sources.fixtures import ensure_png_fixture as _ensure_png_fixture
     from ..sources.fixtures import ensure_wav_fixture as _ensure_wav_fixture
 
     _ensure_png_fixture()
     _ensure_wav_fixture()
+    _ensure_jpeg_fixture()
 except Exception:  # pragma: no cover - degraded envs regenerate lazily
     pass

@@ -33,6 +33,9 @@ PNG_FIXTURE_PATH = os.path.join(
 WAV_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-wav-fixture-v1.parquet"
 )
+JPEG_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-jpeg-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -124,6 +127,52 @@ def ensure_wav_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return WAV_FIXTURE_PATH
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Fixture dimensions for the JPEG leg: sweeps 1..320 x 1..240 with a
+    different stride than the PNG fixture so the two blobs never agree by
+    coincidence."""
+    return 1 + doc_id % 320, 1 + (doc_id * 11) % 240
+
+
+def ensure_jpeg_fixture() -> str:
+    """Create JPEG_FIXTURE_PATH if missing; return the path. One
+    structurally-valid baseline JFIF per doc_id (real encode_jpeg —
+    T.81 marker syntax, SOF0 dimensions, byte-stuffed entropy payload),
+    payload from the shared Knuth-hash stream. The encoder's canonical
+    segment order (SOI, APP0=16, DQT=67, SOF0) pins the frame header at a
+    fixed offset, which is what lets the DuckDB oracle re-extract
+    height/width independently in SQL. Atomic like the PNG path."""
+    if os.path.exists(JPEG_FIXTURE_PATH):
+        return JPEG_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_jpeg
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w, h = jpeg_dims(doc_id)
+        ids.append(doc_id)
+        blobs.append(encode_jpeg(w, h, png_payload(doc_id, 32 + doc_id % 97)))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "jpeg": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(JPEG_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, JPEG_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return JPEG_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:
