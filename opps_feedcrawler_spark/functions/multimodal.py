@@ -22,12 +22,19 @@ partition-preserving mapInPandas. Codec status per format:
   entropy payload) used by tests and the driver fixture. Dimension
   extraction from SOFn is exactly what PIL does for ``Image.size`` — no
   entropy decode needed.
-- **JPEG pixels / mp3 / video: declared stubs.** The container has no
-  libjpeg/ffmpeg; ``decode_audio_meta`` falls back to deterministic fake
-  metadata for non-WAV and ``decode_image_pixels`` raises
-  NotImplementedError where a real deploy would call PIL/libvips.
-  Swapping a stub for a real decoder changes ONE pure function; the
-  distributed plan is already correct.
+- **MP3 metadata: REAL.** ``parse_mp3_meta`` walks the MPEG-1 Layer III
+  frame chain (ID3v2 skip, per-frame header validation, frame lengths
+  derived from each frame's own bitrate/samplerate — exact for VBR) and
+  ``encode_mp3`` writes spec-valid CBR frame streams for tests/fixtures.
+- **MP4 metadata: REAL.** ``parse_mp4_meta`` is an ISO 14496-12 box
+  walker (largesize/to-EOF handling, moov→mvhd v0/v1 field layouts,
+  trak counting) and ``encode_mp4`` a minimal exact-size BMFF writer.
+- **Pixel / waveform / frame decode: declared stubs.** The container has
+  no libjpeg/ffmpeg; ``decode_image_pixels``/``resize_image`` raise
+  NotImplementedError and ``sample_video_frames`` hashes synthetically
+  where a real deploy would call PIL/ffmpeg. Swapping a stub for a real
+  decoder changes ONE pure function; the distributed plan is already
+  correct.
 
 Design for 100 TB of media: binaries never pass through a shuffle — the
 decode/feature stage is mapInPandas (narrow, partition-local), metadata-only
@@ -342,11 +349,89 @@ def parse_wav_meta(blob: bytes) -> dict:
     }
 
 
+# MPEG-1 Layer III bitrate table (kbps) and sample rates, ISO 11172-3.
+_MP3_BITRATES_V1L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+)
+_MP3_RATES_V1 = (44100, 48000, 32000, None)
+
+
+def encode_mp3(
+    sample_rate: int, bitrate_kbps: int, n_frames: int, mono: bool = True
+) -> bytes:
+    """REAL minimal MPEG-1 Layer III CBR frame-stream writer (stdlib
+    only): emits `n_frames` frames, each a spec-valid 4-byte header
+    (11-bit sync, version=MPEG1, layer=III, the requested bitrate and
+    sample-rate indices, padding=0, mode=mono/stereo) followed by filler
+    up to the exact Layer III frame length 144*bitrate//sample_rate. Any
+    MP3 frame parser (this module's, mpg123's header scan) reads back the
+    same rate/bitrate/duration; only the audio payload is synthetic."""
+    if sample_rate not in _MP3_RATES_V1[:3]:
+        raise ValueError(f"unsupported MPEG-1 sample rate: {sample_rate}")
+    if bitrate_kbps not in _MP3_BITRATES_V1L3:
+        raise ValueError(f"unsupported MPEG-1 Layer III bitrate: {bitrate_kbps}")
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES_V1.index(sample_rate)
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    # byte0: sync hi; byte1: sync lo(3) + version 11 + layer 01 + no-crc 1
+    # byte2: bitrate idx (4) + samplerate idx (2) + padding 0 + private 0
+    # byte3: channel mode (2) + rest zero
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), (0xC0 if mono else 0x00)]
+    )
+    frame = hdr + bytes((frame_len - 4) * [0x55])
+    return frame * n_frames
+
+
+def parse_mp3_meta(blob: bytes) -> dict:
+    """REAL MP3 structural parser (stdlib only): skips an optional ID3v2
+    tag (syncsafe size per id3.org), then WALKS the MPEG-1 Layer III
+    frame chain — validating each 4-byte header's sync/version/layer,
+    deriving every frame's length from its own bitrate/samplerate fields
+    (so VBR streams are counted exactly, the same walk ffprobe does when
+    there is no Xing header) — and returns rate/channels and the exact
+    duration n_frames*1152*1000//sample_rate. Raises ValueError on
+    malformed input: no sync, reserved indices, zero frames."""
+    pos = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        sz = (
+            (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+        )
+        pos = 10 + sz
+    n_frames = 0
+    sample_rate = n_channels = None
+    while pos + 4 <= len(blob):
+        b0, b1, b2, b3 = blob[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # end of frame chain (trailing tag/garbage)
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        br = _MP3_BITRATES_V1L3[b2 >> 4]
+        sr = _MP3_RATES_V1[(b2 >> 2) & 3]
+        if br is None or sr is None:
+            raise ValueError("reserved bitrate/samplerate index")
+        if sample_rate is None:
+            sample_rate = sr
+            n_channels = 1 if (b3 >> 6) == 3 else 2
+        padding = (b2 >> 1) & 1
+        pos += 144 * br * 1000 // sr + padding
+        n_frames += 1
+    if not n_frames:
+        raise ValueError("no MP3 frames found")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1152 * 1000 // sample_rate,
+    }
+
+
 def decode_audio_meta(blob: bytes) -> dict:
-    """Audio metadata decode. WAV is REAL (parse_wav_meta — RIFF chunk
-    walk); mp3 and unknown formats fall back to a deterministic declared
-    STUB (no audio libs in this container — a real deployment replaces
-    the fallback with soundfile/ffprobe)."""
+    """Audio metadata decode. WAV and MP3 are REAL (parse_wav_meta —
+    RIFF chunk walk; parse_mp3_meta — MPEG frame-chain walk); unknown
+    formats fall back to a deterministic declared STUB (a real
+    deployment replaces the fallback with soundfile/ffprobe)."""
     n = len(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         meta = parse_wav_meta(blob)
@@ -357,10 +442,20 @@ def decode_audio_meta(blob: bytes) -> dict:
             "n_channels": meta["n_channels"],
             "duration_ms": meta["duration_ms"],
         }
-    codec = "mp3" if blob[:3] == b"ID3" or blob[:2] == b"\xff\xfb" else "unknown"
+    if blob[:3] == b"ID3" or (
+        len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        meta = parse_mp3_meta(blob)
+        return {
+            "n_bytes": n,
+            "codec": "mp3",
+            "sample_rate": meta["sample_rate"],
+            "n_channels": meta["n_channels"],
+            "duration_ms": meta["duration_ms"],
+        }
     return {
         "n_bytes": n,
-        "codec": codec,
+        "codec": "unknown",
         "sample_rate": 8000 + (n % 3) * 4000,
         "n_channels": 1 + (n % 2),
         "duration_ms": n * 10,
@@ -379,6 +474,168 @@ def audio_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -
             yield out
 
     return df.mapInPandas(_decode, AUDIO_META_SCHEMA)
+
+
+def encode_mp4(
+    timescale: int, duration: int, n_tracks: int, mdat: bytes = b""
+) -> bytes:
+    """REAL minimal ISO BMFF (MP4) writer (stdlib only): ftyp (major
+    brand isom), moov containing a spec-valid version-0 mvhd (timescale,
+    duration, rate 1.0, identity matrix, next-track-id) and one tkhd-
+    bearing trak box per track, then an mdat with the given payload.
+    Box sizes are exact, so any box walker (this module's, mp4box's)
+    traverses it; only the media data is synthetic."""
+    if timescale <= 0 or duration < 0 or n_tracks < 0:
+        raise ValueError("invalid MP4 parameters")
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = (
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + struct.pack(">II", 0, 0)               # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)          # rate 1.0
+        + struct.pack(">H", 0x0100)              # volume 1.0
+        + b"\x00" * 10                           # reserved
+        + struct.pack(                            # unity matrix
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24                           # pre_defined
+        + struct.pack(">I", n_tracks + 1)        # next_track_ID
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = (
+            b"\x00\x00\x00\x07"                  # v0, enabled|in-movie|preview
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", tid)
+            + b"\x00" * 4
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)   # layer/group/volume/reserved
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", 0, 0)           # width, height (16.16)
+        )
+        traks += box(b"trak", box(b"tkhd", tkhd))
+    ftyp = b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp42"
+    return box(b"ftyp", ftyp) + box(b"moov", box(b"mvhd", mvhd) + traks) + box(
+        b"mdat", mdat
+    )
+
+
+def parse_mp4_meta(blob: bytes) -> dict:
+    """REAL ISO BMFF structural parser (stdlib only): walks top-level
+    boxes (u32 size + 4cc, size==1 largesize and size==0 to-EOF handled
+    per ISO 14496-12 §4.2), finds moov, walks its children for mvhd
+    (version 0 or 1 field layouts) and counts trak boxes; returns
+    timescale/duration and duration_ms = duration*1000//timescale —
+    the same traversal ffprobe/mp4box perform for container metadata.
+    Raises ValueError on malformed input: no ftyp/moov, truncated box,
+    missing mvhd."""
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", blob[pos : pos + 4])
+            typ = blob[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("MP4 largesize box truncated")
+                (size,) = struct.unpack(">Q", blob[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError("MP4 box overruns blob")
+            yield typ, body, pos + size
+            pos += size
+
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        raise ValueError("not an MP4: first box is not ftyp")
+    major_brand = blob[8:12].decode("latin-1")
+    moov = None
+    for typ, body, end in walk(0, len(blob)):
+        if typ == b"moov":
+            moov = (body, end)
+            break
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    timescale = duration = None
+    n_tracks = 0
+    for typ, body, end in walk(*moov):
+        if typ == b"mvhd":
+            version = blob[body]
+            if version == 1:
+                timescale, duration = (
+                    struct.unpack(">I", blob[body + 20 : body + 24])[0],
+                    struct.unpack(">Q", blob[body + 24 : body + 32])[0],
+                )
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", blob[body + 12 : body + 20]
+                )
+        elif typ == b"trak":
+            n_tracks += 1
+    if timescale is None or timescale == 0:
+        raise ValueError("MP4 missing or invalid mvhd")
+    return {
+        "major_brand": major_brand,
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+    }
+
+
+VIDEO_META_SCHEMA = (
+    "url string, n_bytes long, container string, timescale int, "
+    "duration_ms long, n_tracks int"
+)
+
+
+def video_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -> DataFrame:
+    """mapInPandas container-metadata stage for video (same narrow,
+    Arrow-bounded shape as image/audio_metadata). MP4/ISO-BMFF is REAL
+    (parse_mp4_meta); other containers report 'unknown' with
+    deterministic stub fields (frame/pixel decode stays a declared stub
+    — see sample_video_frames)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[bin_col]:
+                blob = bytes(b)
+                n = len(blob)
+                if len(blob) >= 12 and blob[4:8] == b"ftyp":
+                    m = parse_mp4_meta(blob)
+                    rows.append(
+                        {
+                            "n_bytes": n,
+                            "container": "mp4",
+                            "timescale": m["timescale"],
+                            "duration_ms": m["duration_ms"],
+                            "n_tracks": m["n_tracks"],
+                        }
+                    )
+                else:
+                    rows.append(
+                        {
+                            "n_bytes": n,
+                            "container": "unknown",
+                            "timescale": 0,
+                            "duration_ms": n * 40,
+                            "n_tracks": 1,
+                        }
+                    )
+            out = pd.DataFrame(rows)
+            out.insert(0, "url", pdf[url_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, VIDEO_META_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = "url string, frame_idx int, frame_ms long, frame_hash long"

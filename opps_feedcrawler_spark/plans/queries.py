@@ -2829,6 +2829,8 @@ def _duck_be_from_hex(hx_col: str, start: int, ndigits: int) -> str:
 
 from ..sources.fixtures import (
     JPEG_FIXTURE_PATH,
+    MP3_FIXTURE_PATH,
+    MP4_FIXTURE_PATH,
     PNG_FIXTURE_PATH,
     WAV_FIXTURE_PATH,
 )
@@ -2906,6 +2908,107 @@ def multimodal_jpeg_meta(spark, sf_dir):
         "url", F.col("jpeg").alias("blob")
     )
     return image_metadata(joined, "url", "blob").drop("sample_hash")
+
+
+@_q(
+    "multimodal_mp3_meta",
+    f"""
+    WITH f AS (
+      SELECT doc_id, mp3, hex(mp3) AS hx
+      FROM read_parquet('{MP3_FIXTURE_PATH}'))
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(octet_length(mp3) AS BIGINT) AS n_bytes,
+           CASE WHEN substr(hx, 1, 4) = 'FFFB' THEN 'mp3'
+                ELSE 'unknown' END AS codec,
+           CAST(CASE substr(hx, 6, 1) WHEN '0' THEN 44100
+                                      WHEN '4' THEN 48000
+                                      ELSE 32000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN substr(hx, 7, 1) = 'C' THEN 1 ELSE 2 END AS INT)
+             AS n_channels,
+           CAST((octet_length(mp3)
+                 // (144000 * (CASE substr(hx, 5, 1) WHEN '5' THEN 64
+                                                     WHEN '9' THEN 128
+                                                     WHEN 'B' THEN 192
+                                                     ELSE 320 END)
+                     // (CASE substr(hx, 6, 1) WHEN '0' THEN 44100
+                                               WHEN '4' THEN 48000
+                                               ELSE 32000 END)))
+                * 1152 * 1000
+                // (CASE substr(hx, 6, 1) WHEN '0' THEN 44100
+                                          WHEN '4' THEN 48000
+                                          ELSE 32000 END)
+             AS BIGINT) AS duration_ms
+    FROM f JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_mp3_meta(spark, sf_dir):
+    """B35 fourth media leg with a REAL decoder: the deterministic
+    MPEG-1 Layer III fixture (sources/fixtures.py — spec-valid CBR frame
+    streams via the real encode_mp3, no ID3 so the first header is at
+    byte 0) is parsed by parse_mp3_meta, which WALKS the frame chain
+    deriving each frame's length from its own header (the ffprobe
+    no-Xing algorithm, exact for VBR too). The oracle re-decodes the
+    header nibbles in SQL — bitrate index (hex digit 5), sample-rate
+    index (digit 6), channel mode (digit 7) — recomputes the Layer III
+    frame length 144000*kbps//rate, counts frames by integer division
+    (valid because the fixture is CBR: every frame length equals the
+    first — the walker itself proves per-frame lengths elsewhere), and
+    rederives duration by the same exact integer formula. Blob rule
+    holds: broadcast metadata side, no blob shuffle."""
+    from ..functions.multimodal import audio_metadata
+    from ..sources.fixtures import ensure_mp3_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    mp3 = spark.read.parquet(ensure_mp3_fixture())
+    joined = mp3.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("mp3").alias("blob")
+    )
+    return audio_metadata(joined, "url", "blob")
+
+
+@_q(
+    "multimodal_video_meta",
+    f"""
+    WITH f AS (
+      SELECT doc_id, mp4, hex(mp4) AS hx
+      FROM read_parquet('{MP4_FIXTURE_PATH}'))
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(octet_length(mp4) AS BIGINT) AS n_bytes,
+           CASE WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+                ELSE 'unknown' END AS container,
+           CAST({_duck_be_from_hex('hx', 105, 8)} AS INT) AS timescale,
+           CAST(CAST({_duck_be_from_hex('hx', 113, 8)} AS BIGINT) * 1000
+                // ({_duck_be_from_hex('hx', 105, 8)}) AS BIGINT)
+             AS duration_ms,
+           CAST((length(hx) - length(replace(hx, '7472616B', ''))) // 8 AS INT)
+             AS n_tracks
+    FROM f JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_video_meta(spark, sf_dir):
+    """B35 video leg with a REAL container decoder: the deterministic
+    ISO BMFF fixture (sources/fixtures.py — exact-size boxes via the
+    real encode_mp4, v0 mvhd, tkhd-bearing traks, constant-0xAA mdat) is
+    parsed by parse_mp4_meta, a 14496-12 box walker (largesize/to-EOF
+    arms included) that finds moov→mvhd, reads timescale/duration, and
+    counts trak children — the traversal ffprobe does for container
+    metadata. The oracle re-extracts ftyp magic and the big-endian
+    timescale/duration at the writer's canonical offsets (ftyp 24 bytes
+    → moov at 24 → mvhd payload at byte 40: timescale at 52, duration
+    at 56) and counts traks by substring arithmetic over the hex (safe:
+    the only 0x61-0x74-range bytes in the fixture are the box 4CCs, and
+    the mdat payload is constant 0xAA). Frame/pixel decode remains the
+    declared stub (sample_video_frames); the container metadata path is
+    fully real. Blob rule holds: broadcast metadata side, no shuffle."""
+    from ..functions.multimodal import video_metadata
+    from ..sources.fixtures import ensure_mp4_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    mp4 = spark.read.parquet(ensure_mp4_fixture())
+    joined = mp4.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("mp4").alias("blob")
+    )
+    return video_metadata(joined, "url", "blob")
 
 
 @_q(
@@ -5095,6 +5198,8 @@ _FRONT_ORDER = [
     "text_quality_gate_by_lang",
     "text_bigram_topk",
     "multimodal_jpeg_meta",
+    "multimodal_mp3_meta",
+    "multimodal_video_meta",
     "crawl_url_depth_stats",
     "text_nfc_normalize",
     # rows-only entries: their clean runs are worth re-recording every
@@ -5175,11 +5280,15 @@ _apply_registration_order()
 # runs first.
 try:
     from ..sources.fixtures import ensure_jpeg_fixture as _ensure_jpeg_fixture
+    from ..sources.fixtures import ensure_mp3_fixture as _ensure_mp3_fixture
+    from ..sources.fixtures import ensure_mp4_fixture as _ensure_mp4_fixture
     from ..sources.fixtures import ensure_png_fixture as _ensure_png_fixture
     from ..sources.fixtures import ensure_wav_fixture as _ensure_wav_fixture
 
     _ensure_png_fixture()
     _ensure_wav_fixture()
     _ensure_jpeg_fixture()
+    _ensure_mp3_fixture()
+    _ensure_mp4_fixture()
 except Exception:  # pragma: no cover - degraded envs regenerate lazily
     pass

@@ -36,6 +36,12 @@ WAV_FIXTURE_PATH = os.path.join(
 JPEG_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-jpeg-fixture-v1.parquet"
 )
+MP3_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-mp3-fixture-v1.parquet"
+)
+MP4_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-mp4-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -173,6 +179,108 @@ def ensure_jpeg_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return JPEG_FIXTURE_PATH
+
+
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_BITRATES = (64, 128, 192, 320)
+
+
+def mp3_params(doc_id: int) -> tuple[int, int, int, bool]:
+    """Fixture MP3 parameters (sample_rate, bitrate_kbps, n_frames,
+    mono): a pure function of doc_id sweeping the MPEG-1 rates, common
+    CBR bitrates, frame counts, and both channel modes."""
+    return (
+        _MP3_RATES[doc_id % len(_MP3_RATES)],
+        _MP3_BITRATES[doc_id % len(_MP3_BITRATES)],
+        3 + (doc_id * 5) % 40,
+        doc_id % 2 == 0,
+    )
+
+
+def ensure_mp3_fixture() -> str:
+    """Create MP3_FIXTURE_PATH if missing; return the path. One spec-valid
+    MPEG-1 Layer III CBR frame stream per doc_id (real encode_mp3; no
+    ID3 tag, so the first frame header sits at byte 0 — what lets the
+    DuckDB oracle decode rate/bitrate indices and count frames by pure
+    integer arithmetic). Atomic like the PNG path."""
+    if os.path.exists(MP3_FIXTURE_PATH):
+        return MP3_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_mp3
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        rate, kbps, frames, mono = mp3_params(doc_id)
+        ids.append(doc_id)
+        blobs.append(encode_mp3(rate, kbps, frames, mono))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "mp3": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(MP3_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, MP3_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return MP3_FIXTURE_PATH
+
+
+def mp4_params(doc_id: int) -> tuple[int, int, int]:
+    """Fixture MP4 parameters (timescale, duration, n_tracks): pure
+    function of doc_id; durations exercise the integer-division ms
+    arithmetic, track counts sweep 1..3."""
+    return (
+        (600, 1000, 90000)[doc_id % 3],
+        1000 + (doc_id * 97) % 500000,
+        1 + doc_id % 3,
+    )
+
+
+def ensure_mp4_fixture() -> str:
+    """Create MP4_FIXTURE_PATH if missing; return the path. One spec-valid
+    ISO BMFF container per doc_id (real encode_mp4 — exact box sizes,
+    v0 mvhd, tkhd-bearing traks, constant-byte mdat so the oracle's
+    trak-count substring scan cannot alias on media bytes). The writer's
+    canonical layout (ftyp 24 bytes, moov at 24, mvhd at 32) pins
+    timescale/duration at fixed offsets for the SQL oracle. Atomic."""
+    if os.path.exists(MP4_FIXTURE_PATH):
+        return MP4_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_mp4
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        ts, dur, tracks = mp4_params(doc_id)
+        ids.append(doc_id)
+        blobs.append(encode_mp4(ts, dur, tracks, b"\xaa" * (16 + doc_id % 64)))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "mp4": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(MP4_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, MP4_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return MP4_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:

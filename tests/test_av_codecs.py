@@ -1,0 +1,146 @@
+"""Golden tests for the REAL MP3 frame-chain and MP4 box-walker codecs
+(functions/multimodal.py). Same independence discipline as the PNG/JPEG
+codec tests: parsers are exercised on HAND-SPELLED byte streams covering
+arms the canonical encoders never emit (VBR chains, ID3v2 tags, mvhd
+version 1, largesize and to-EOF boxes), so parser correctness does not
+ride on the encoder."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from opps_feedcrawler_spark.functions.multimodal import (
+    decode_audio_meta,
+    encode_mp3,
+    encode_mp4,
+    parse_mp3_meta,
+    parse_mp4_meta,
+)
+
+
+def _frame(kbps_idx: int, sr_idx: int, mono: bool, pad: int = 0) -> bytes:
+    """Hand-build one MPEG-1 Layer III frame from raw header fields."""
+    rates = (44100, 48000, 32000)
+    brs = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    flen = 144 * brs[kbps_idx] * 1000 // rates[sr_idx] + pad
+    hdr = bytes([0xFF, 0xFB, (kbps_idx << 4) | (sr_idx << 2) | (pad << 1),
+                 0xC0 if mono else 0x00])
+    return hdr + b"\x11" * (flen - 4)
+
+
+class TestMp3:
+    def test_hand_spelled_cbr_chain(self):
+        blob = _frame(9, 0, True) * 5  # 128 kbps, 44100, mono
+        meta = parse_mp3_meta(blob)
+        assert meta == {
+            "sample_rate": 44100,
+            "n_channels": 1,
+            "n_frames": 5,
+            "duration_ms": 5 * 1152 * 1000 // 44100,
+        }
+
+    def test_vbr_chain_counts_by_per_frame_length(self):
+        # three frames at three different bitrates — only a real walk
+        # (each frame's length from its own header) counts them right
+        blob = _frame(5, 1, False) + _frame(14, 1, False) + _frame(9, 1, False)
+        meta = parse_mp3_meta(blob)
+        assert meta["n_frames"] == 3
+        assert meta["sample_rate"] == 48000
+        assert meta["n_channels"] == 2
+
+    def test_padding_bit_advances_one_extra_byte(self):
+        blob = _frame(9, 0, True, pad=1) + _frame(9, 0, True)
+        assert parse_mp3_meta(blob)["n_frames"] == 2
+
+    def test_id3v2_tag_skipped_syncsafe(self):
+        tag_body = b"\x00" * 200
+        # syncsafe 200 = 0b0000001_0x48 -> bytes (0,0,1,72)
+        tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 1, 72]) + tag_body
+        assert len(tag_body) == ((1 << 7) | 72)
+        blob = tag + _frame(9, 0, True) * 2
+        assert parse_mp3_meta(blob)["n_frames"] == 2
+
+    def test_rejects_malformed(self):
+        with pytest.raises(ValueError):
+            parse_mp3_meta(b"RIFFxxxxWAVE")  # no sync
+        with pytest.raises(ValueError):
+            parse_mp3_meta(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100)  # bad br idx
+        with pytest.raises(ValueError):
+            parse_mp3_meta(bytes([0xFF, 0xF3, 0x94, 0x00]))  # MPEG-2 (unsupported)
+
+    def test_encoder_roundtrip_sweep(self):
+        for rate in (44100, 48000, 32000):
+            for kbps in (64, 128, 320):
+                for mono in (True, False):
+                    blob = encode_mp3(rate, kbps, 7, mono)
+                    meta = parse_mp3_meta(blob)
+                    assert meta["n_frames"] == 7
+                    assert meta["sample_rate"] == rate
+                    assert meta["n_channels"] == (1 if mono else 2)
+
+    def test_decode_audio_meta_dispatches_mp3_for_real(self):
+        blob = encode_mp3(32000, 64, 11)
+        meta = decode_audio_meta(blob)
+        assert meta["codec"] == "mp3"
+        assert meta["sample_rate"] == 32000
+        assert meta["duration_ms"] == 11 * 1152 * 1000 // 32000
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+class TestMp4:
+    def test_encoder_roundtrip_sweep(self):
+        for ts, dur, tracks in [(600, 1000, 1), (90000, 123456, 3), (1000, 0, 0)]:
+            meta = parse_mp4_meta(encode_mp4(ts, dur, tracks, b"\xaa" * 9))
+            assert meta["timescale"] == ts
+            assert meta["duration"] == dur
+            assert meta["n_tracks"] == tracks
+            assert meta["duration_ms"] == dur * 1000 // ts
+            assert meta["major_brand"] == "isom"
+
+    def test_hand_spelled_mvhd_version1(self):
+        # v1 mvhd: 64-bit creation/modification/duration, u32 timescale
+        mvhd = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 48000)
+            + struct.pack(">Q", 96000)
+            + b"\x00" * 80
+        )
+        blob = (
+            _box(b"ftyp", b"isom" + b"\x00" * 8)
+            + _box(b"moov", _box(b"mvhd", mvhd))
+        )
+        meta = parse_mp4_meta(blob)
+        assert meta["timescale"] == 48000
+        assert meta["duration"] == 96000
+        assert meta["duration_ms"] == 2000
+
+    def test_largesize_and_to_eof_boxes(self):
+        mvhd = (
+            b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000, 2500) + b"\x00" * 80
+        )
+        moov = _box(b"moov", _box(b"mvhd", mvhd))
+        # wrap mdat as a largesize box, then a to-EOF free box (size 0)
+        payload = b"\xbb" * 32
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+        free = struct.pack(">I", 0) + b"free" + b"\xcc" * 5
+        blob = _box(b"ftyp", b"isom" + b"\x00" * 8) + moov + mdat + free
+        meta = parse_mp4_meta(blob)
+        assert meta["duration_ms"] == 2500
+        assert meta["n_tracks"] == 0
+
+    def test_rejects_malformed(self):
+        with pytest.raises(ValueError):
+            parse_mp4_meta(b"\x00\x00\x00\x08fre")  # no ftyp / truncated
+        with pytest.raises(ValueError):
+            parse_mp4_meta(_box(b"ftyp", b"isom" + b"\x00" * 8))  # no moov
+        # box claiming more bytes than exist
+        bad = _box(b"ftyp", b"isom" + b"\x00" * 8) + struct.pack(">I", 999) + b"moov"
+        with pytest.raises(ValueError):
+            parse_mp4_meta(bad)
