@@ -29,12 +29,15 @@ partition-preserving mapInPandas. Codec status per format:
 - **MP4 metadata: REAL.** ``parse_mp4_meta`` is an ISO 14496-12 box
   walker (largesize/to-EOF handling, moov→mvhd v0/v1 field layouts,
   trak counting) and ``encode_mp4`` a minimal exact-size BMFF writer.
-- **Pixel / waveform / frame decode: declared stubs.** The container has
-  no libjpeg/ffmpeg; ``decode_image_pixels``/``resize_image`` raise
-  NotImplementedError and ``sample_video_frames`` hashes synthetically
-  where a real deploy would call PIL/ffmpeg. Swapping a stub for a real
-  decoder changes ONE pure function; the distributed plan is already
-  correct.
+- **PNG pixels: REAL.** ``decode_png_pixels`` zlib-inflates IDAT and
+  applies the full RFC 2083 unfilter set (None/Sub/Up/Average/Paeth,
+  byte-exact) for 8-bit gray/RGB/GA/RGBA; ``resize_png`` does real
+  nearest-neighbor thumbnails (decode → resample → re-encode).
+- **JPEG/MP3 payloads, video frames: declared stubs.** The container has
+  no libjpeg/ffmpeg; ``decode_image_pixels`` raises NotImplementedError
+  for non-PNG and ``sample_video_frames`` hashes synthetically where a
+  real deploy would call PIL/ffmpeg. Swapping a stub for a real decoder
+  changes ONE pure function; the distributed plan is already correct.
 
 Design for 100 TB of media: binaries never pass through a shuffle — the
 decode/feature stage is mapInPandas (narrow, partition-local), metadata-only
@@ -259,12 +262,142 @@ def decode_image_meta(blob: bytes) -> dict:
     }
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL PNG pixel decode (stdlib+numpy only): walks chunks collecting
+    IDAT, zlib-inflates the filtered stream, and applies the full RFC
+    2083 §6 unfilter set (None/Sub/Up/Average/Paeth, byte-exact integer
+    arithmetic) for any 8-bit grayscale/RGB/gray+alpha/RGBA image.
+    Returns (height, width, channels) uint8 ndarray. Interlaced or
+    sub-byte-depth PNGs raise NotImplementedError (declared — the
+    fixture and crawl corpora never emit them); malformed input raises
+    ValueError."""
+    import numpy as np
+
+    meta = parse_png_meta(blob)
+    if meta["bit_depth"] != 8:
+        raise NotImplementedError("only 8-bit PNGs supported")
+    ch = _PNG_CHANNELS.get(meta["color_type"])
+    if ch is None:
+        raise NotImplementedError("palette PNGs not supported")
+    w, hgt = meta["width"], meta["height"]
+    pos, idat = 8, b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != hgt * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch (interlaced?)")
+    out = np.empty((hgt, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(hgt):
+        line = raw[r * (1 + stride) : (r + 1) * (1 + stride)]
+        filt, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
+        if filt == 0:
+            cur = data
+        elif filt == 2:  # Up
+            cur = data + prev
+        elif filt in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = data
+            ints = cur.astype(np.int32)
+            pints = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(pints[i]) if filt != 1 else 0
+                if filt == 1:
+                    cur[i] = (ints[i] + a) & 0xFF
+                elif filt == 3:
+                    cur[i] = (ints[i] + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (ints[i] + pred) & 0xFF
+                ints[i] = cur[i]
+        else:
+            raise ValueError(f"unknown PNG filter {filt}")
+        out[r] = cur
+        prev = out[r]
+    return out.reshape(hgt, w, ch)
+
+
 def decode_image_pixels(blob: bytes):
-    """Real pixel decode — requires an image library absent from this
-    container. The plumbing above is tested without it."""
+    """Pixel decode. PNG is REAL (decode_png_pixels — inflate + full
+    unfilter); JPEG entropy decode requires libjpeg, absent from this
+    container, and stays a declared stub (a real deploy swaps in
+    PIL/libvips here)."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png_pixels(blob)
     raise NotImplementedError(
-        "pixel decode requires PIL/libvips; not available in this environment"
+        "non-PNG pixel decode requires PIL/libvips; not available in this environment"
     )
+
+
+def resize_png(blob: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor thumbnail resize for grayscale-8 PNGs:
+    decode_png_pixels → numpy index-map resample → re-encode with the
+    real encode_png. The standard mapInPandas thumbnail stage runs this
+    per blob; color PNGs raise NotImplementedError (encode_png writes
+    grayscale — the one remaining encoder arm)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("resize dimensions must be positive")
+    px = decode_png_pixels(blob)
+    if px.shape[2] != 1:
+        raise NotImplementedError("re-encode supports grayscale PNGs only")
+    src_h, src_w = px.shape[:2]
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    resized = px[rows][:, cols, 0]
+    return encode_png(width, height, resized.tobytes())
+
+
+PIXEL_STATS_SCHEMA = (
+    "url string, width int, height int, n_px long, sum_px long, "
+    "min_px int, max_px int"
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, url_col: str = "url", bin_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas REAL-pixel stage: decode_png_pixels per blob (inflate
+    + unfilter), then numpy reductions — the shape of any real
+    brightness/NSFW/quality scorer over decoded pixels. Narrow, no blob
+    shuffle, Arrow-bounded batches."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[bin_col]:
+                px = decode_png_pixels(bytes(b))
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "n_px": int(flat.size),
+                        "sum_px": int(flat.sum()),
+                        "min_px": int(flat.min()),
+                        "max_px": int(flat.max()),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out.insert(0, "url", pdf[url_col].values)
+            yield out
+
+    return df.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
 def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -> DataFrame:
@@ -724,10 +857,14 @@ def byte_histogram_features(
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Real thumbnail resize — requires a pixel decoder absent from this
-    container (same swap point as decode_image_pixels)."""
+    """Thumbnail resize. Grayscale PNG is REAL (resize_png — decode,
+    nearest-neighbor resample, re-encode); other formats need a pixel
+    decoder absent from this container (same swap point as
+    decode_image_pixels)."""
+    if blob[:8] == _PNG_SIG:
+        return resize_png(blob, width, height)
     raise NotImplementedError(
-        "resize requires PIL/libvips; not available in this environment"
+        "non-PNG resize requires PIL/libvips; not available in this environment"
     )
 
 

@@ -2911,6 +2911,54 @@ def multimodal_jpeg_meta(spark, sf_dir):
 
 
 @_q(
+    "multimodal_png_pixels",
+    f"""
+    WITH p AS (
+      SELECT doc_id, png,
+             CAST({_duck_be32_from_hex('hex(png)', 33)} AS INT) AS width,
+             CAST({_duck_be32_from_hex('hex(png)', 41)} AS INT) AS height
+      FROM read_parquet('{PNG_FIXTURE_PATH}'))
+    SELECT {_DOC_URL_SQL} AS url, width, height,
+           CAST(width * height AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, width * height),
+                i -> (doc_id * 2654435761 + i * 40503) % 256)) AS BIGINT)
+             AS sum_px,
+           CAST(list_min(list_transform(range(0, width * height),
+                i -> (doc_id * 2654435761 + i * 40503) % 256)) AS INT)
+             AS min_px,
+           CAST(list_max(list_transform(range(0, width * height),
+                i -> (doc_id * 2654435761 + i * 40503) % 256)) AS INT)
+             AS max_px
+    FROM p JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_png_pixels(spark, sf_dir):
+    """REAL pixel decode through the engine: decode_png_pixels
+    zlib-inflates each fixture PNG's IDAT and unfilters it (RFC 2083 §6
+    — the fixture rows are filter-0, but the decoder implements the full
+    None/Sub/Up/Average/Paeth set, golden-tested on hand-filtered
+    images), then numpy-reduces to per-image brightness stats — the
+    shape of any real image-quality scorer in a training-data pipeline.
+    Non-circular check: the oracle never inflates; it reads width/height
+    from the PNG's IHDR bytes and recomputes the expected pixel stream
+    from the fixture's GENERATIVE formula ((doc_id*2654435761 +
+    idx*40503) mod 256 — sources/fixtures.png_payload) in exact BIGINT
+    SQL. Spark's route is bytes → inflate → unfilter → reduce; the
+    oracle's is formula → reduce. They agree only if the real
+    decompression round-trips the real compression. Blob rule holds:
+    mapInPandas, no shuffle."""
+    from ..functions.multimodal import image_pixel_stats
+    from ..sources.fixtures import ensure_png_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    png = spark.read.parquet(ensure_png_fixture())
+    joined = png.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("png").alias("blob")
+    )
+    return image_pixel_stats(joined, "url", "blob")
+
+
+@_q(
     "multimodal_mp3_meta",
     f"""
     WITH f AS (
@@ -5200,6 +5248,7 @@ _FRONT_ORDER = [
     "multimodal_jpeg_meta",
     "multimodal_mp3_meta",
     "multimodal_video_meta",
+    "multimodal_png_pixels",
     "crawl_url_depth_stats",
     "text_nfc_normalize",
     # rows-only entries: their clean runs are worth re-recording every

@@ -104,8 +104,9 @@ def test_decode_image_meta_png_is_real():
     m = decode_image_meta(png)
     assert (m["format"], m["width"], m["height"]) == ("png", 17, 5)
     assert m["n_bytes"] == len(png)
-    # non-PNG still routes to the declared stub path
-    assert decode_image_meta(b"\xff\xd8\xff\xe0rest")["format"] == "jpeg"
+    # non-PNG routes to the real JPEG parser, which rejects malformed bytes
+    with pytest.raises(ValueError):
+        decode_image_meta(b"\xff\xd8\xff\xe0rest")
 
 
 def test_fixture_parquet_matches_formula(tmp_path, monkeypatch):
@@ -129,3 +130,158 @@ def test_fixture_parquet_matches_formula(tmp_path, monkeypatch):
     target.unlink()
     fx.ensure_png_fixture()
     assert target.read_bytes() == data1
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode (decode_png_pixels): validated against a test-local
+# FORWARD filter implementation — the test filters known pixels per RFC
+# 2083 §6, wraps them in a spec-valid PNG, and requires the decoder to
+# recover the original pixels exactly. Decoder and test share no code.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from opps_feedcrawler_spark.functions.multimodal import (
+    decode_png_pixels,
+    resize_png,
+)
+
+
+def _forward_filter(px: np.ndarray, filters: list[int]) -> bytes:
+    """Test-side PNG filtering (the inverse of what the decoder undoes),
+    written directly from the spec's Filt() equations."""
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        out.append(f)
+        for i in range(stride):
+            x = int(flat[r, i])
+            a = int(flat[r, i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = x - pred
+            out.append(v & 0xFF)
+        prev = flat[r]
+    return bytes(out)
+
+
+def _wrap_png(w: int, h: int, color_type: int, raw: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw)
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d)
+        )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+_CT_CH = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+@pytest.mark.parametrize(
+    "filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1]]
+)
+def test_unfilter_recovers_hand_filtered_pixels(color_type, filters):
+    ch = _CT_CH[color_type]
+    rng = np.random.default_rng(color_type * 31 + sum(filters))
+    px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+    blob = _wrap_png(5, 7, color_type, _forward_filter(px, filters))
+    got = decode_png_pixels(blob)
+    assert got.shape == (7, 5, ch)
+    assert np.array_equal(got, px)
+
+
+def test_decode_matches_encoder_roundtrip():
+    payload = bytes((i * 97 + 13) & 0xFF for i in range(24 * 11))
+    px = decode_png_pixels(encode_png(24, 11, payload))
+    assert px.shape == (11, 24, 1)
+    assert px.reshape(-1).tobytes() == payload
+
+
+def test_decode_multiple_idat_chunks():
+    # split the filtered stream across two IDAT chunks — spec allows any split
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    raw = _forward_filter(px, [2])
+    comp = zlib.compress(raw)
+    cut = len(comp) // 2
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d)
+        )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:cut])
+        + chunk(b"IDAT", comp[cut:])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png_pixels(blob), px)
+
+
+def test_decode_rejects_unsupported():
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d)
+            )
+        decode_png_pixels(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(NotImplementedError):  # palette
+        decode_png_pixels(_wrap_png(1, 1, 3, b""))
+
+
+def test_resize_png_nearest_neighbor():
+    payload = bytes(range(16))  # 4x4 gradient
+    blob = encode_png(4, 4, payload)
+    out = resize_png(blob, 2, 2)
+    px = decode_png_pixels(out)
+    # nearest-neighbor with floor mapping picks rows/cols 0 and 2
+    assert px.reshape(2, 2).tolist() == [[0, 2], [8, 10]]
+    # identity resize is lossless
+    same = decode_png_pixels(resize_png(blob, 4, 4))
+    assert same.reshape(-1).tobytes() == payload
+
+
+def test_image_pixel_stats_spark(spark):
+    from opps_feedcrawler_spark.functions.multimodal import image_pixel_stats
+
+    rows = []
+    truths = {}
+    for i, (w, h) in enumerate([(3, 2), (1, 1), (64, 48)]):
+        payload = bytes(((i + 1) * j * 7 + i) & 0xFF for j in range(w * h))
+        rows.append((f"u{i}", encode_png(w, h, payload)))
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        truths[f"u{i}"] = (w, h, arr.size, int(arr.sum()), int(arr.min()), int(arr.max()))
+    df = spark.createDataFrame(rows, "url string, blob binary")
+    got = {
+        r["url"]: (r["width"], r["height"], r["n_px"], r["sum_px"], r["min_px"], r["max_px"])
+        for r in image_pixel_stats(df).collect()
+    }
+    assert got == truths
