@@ -5189,8 +5189,8 @@ _FRONT_ORDER = [
     "crawl_mime_sniff",
     "crawl_mirror_hosts",
     "dedup_span_fingerprints",
-    "events_funnel_conversion",
-    "orders_retention_cohort",
+    "multimodal_video_meta",
+    "multimodal_png_pixels",
     "graph_triangle_stats",
     "crawl_hreflang_alternates",
     "text_length_histogram",
@@ -5238,17 +5238,22 @@ _FRONT_ORDER = [
     "null_safe_join_values",
     "dedup_title_levenshtein",
     "text_bpe_token_count",
-    # round-3 batch 6: never driver-checked, all oracle-paired (the last
-    # two sit just past the 50-slot window this round; round 4 leads with
-    # whatever has no CORRECTNESS row yet, per the round-2 playbook)
+    # round-3 batch 6 + real-codec multimodal: never driver-checked, all
+    # oracle-paired. The four multimodal entries carry the REAL jpeg/mp3/
+    # mp4/png codecs, so their green rows retire the "codecs are stubs"
+    # claim — they take window slots ahead of the six plainer entries
+    # deferred below.
     "dedup_cluster_canonical",
     "embedding_quantize_int8",
-    "text_quality_gate_by_lang",
-    "text_bigram_topk",
     "multimodal_jpeg_meta",
     "multimodal_mp3_meta",
-    "multimodal_video_meta",
-    "multimodal_png_pixels",
+    # --- 50-slot driver window ends here. Everything below is outside
+    # the window this round; round 4 leads with whatever still has no
+    # CORRECTNESS row, per the round-2 playbook.
+    "events_funnel_conversion",
+    "orders_retention_cohort",
+    "text_quality_gate_by_lang",
+    "text_bigram_topk",
     "crawl_url_depth_stats",
     "text_nfc_normalize",
     # rows-only entries: their clean runs are worth re-recording every
