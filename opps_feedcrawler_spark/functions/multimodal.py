@@ -228,24 +228,36 @@ def decode_image_meta(blob: bytes) -> dict:
     """Image metadata decode. PNG and JPEG are REAL (parse_png_meta —
     structural parse with CRC check; parse_jpeg_meta — T.81 marker walk
     to SOFn); unknown formats fall back to a deterministic declared STUB
-    (a real deployment replaces the fallback with PIL.Image.open(...))."""
+    (a real deployment replaces the fallback with PIL.Image.open(...)).
+
+    A blob that *sniffs* as PNG/JPEG but fails its structural parse is
+    reported as format "invalid" with zero dimensions instead of raising:
+    on a crawl corpus, truncated and mislabeled media are routine and one
+    bad blob must not fail a 100 TB stage — the row-level error surface
+    (format column) lets the pipeline filter or quarantine them."""
     n = len(blob)
     h = int.from_bytes(blob[:8].ljust(8, b"\0"), "little")
+    sniffed = None
     if blob[:8] == _PNG_SIG:
-        meta = parse_png_meta(blob)
+        sniffed = ("png", parse_png_meta)
+    elif blob[:2] == b"\xff\xd8":
+        sniffed = ("jpeg", parse_jpeg_meta)
+    if sniffed is not None:
+        fmt, parser = sniffed
+        try:
+            meta = parser(blob)
+        except ValueError:
+            return {
+                "n_bytes": n,
+                "format": "invalid",
+                "width": 0,
+                "height": 0,
+                "n_frames": 0,
+                "sample_hash": (h % (1 << 62)),
+            }
         return {
             "n_bytes": n,
-            "format": "png",
-            "width": meta["width"],
-            "height": meta["height"],
-            "n_frames": 1,
-            "sample_hash": (h % (1 << 62)),
-        }
-    if blob[:2] == b"\xff\xd8":
-        meta = parse_jpeg_meta(blob)
-        return {
-            "n_bytes": n,
-            "format": "jpeg",
+            "format": fmt,
             "width": meta["width"],
             "height": meta["height"],
             "n_frames": 1,
@@ -564,24 +576,35 @@ def decode_audio_meta(blob: bytes) -> dict:
     """Audio metadata decode. WAV and MP3 are REAL (parse_wav_meta —
     RIFF chunk walk; parse_mp3_meta — MPEG frame-chain walk); unknown
     formats fall back to a deterministic declared STUB (a real
-    deployment replaces the fallback with soundfile/ffprobe)."""
+    deployment replaces the fallback with soundfile/ffprobe).
+
+    Like decode_image_meta: a blob that sniffs WAV/MP3 but fails its
+    structural parse becomes a codec="invalid" row with zero fields —
+    crawl corpora are full of truncated media, and one bad blob must not
+    raise out of a 100 TB stage."""
     n = len(blob)
+    sniffed = None
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-        meta = parse_wav_meta(blob)
-        return {
-            "n_bytes": n,
-            "codec": "wav",
-            "sample_rate": meta["sample_rate"],
-            "n_channels": meta["n_channels"],
-            "duration_ms": meta["duration_ms"],
-        }
-    if blob[:3] == b"ID3" or (
+        sniffed = ("wav", parse_wav_meta)
+    elif blob[:3] == b"ID3" or (
         len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
-        meta = parse_mp3_meta(blob)
+        sniffed = ("mp3", parse_mp3_meta)
+    if sniffed is not None:
+        codec, parser = sniffed
+        try:
+            meta = parser(blob)
+        except ValueError:
+            return {
+                "n_bytes": n,
+                "codec": "invalid",
+                "sample_rate": 0,
+                "n_channels": 0,
+                "duration_ms": 0,
+            }
         return {
             "n_bytes": n,
-            "codec": "mp3",
+            "codec": codec,
             "sample_rate": meta["sample_rate"],
             "n_channels": meta["n_channels"],
             "duration_ms": meta["duration_ms"],
@@ -744,7 +767,21 @@ def video_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -
                 blob = bytes(b)
                 n = len(blob)
                 if len(blob) >= 12 and blob[4:8] == b"ftyp":
-                    m = parse_mp4_meta(blob)
+                    try:
+                        m = parse_mp4_meta(blob)
+                    except ValueError:
+                        # truncated/mislabeled container: quarantine row,
+                        # never an exception out of a crawl-scale stage
+                        rows.append(
+                            {
+                                "n_bytes": n,
+                                "container": "invalid",
+                                "timescale": 0,
+                                "duration_ms": 0,
+                                "n_tracks": 0,
+                            }
+                        )
+                        continue
                     rows.append(
                         {
                             "n_bytes": n,

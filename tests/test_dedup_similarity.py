@@ -134,13 +134,15 @@ def test_multimodal_plumbing(spark):
         "url string, blob binary",
     )
     rows = {r.url: r for r in image_metadata(df).collect()}
-    assert rows["u1"].format == "png" and rows["u2"].format == "jpeg"
+    assert rows["u1"].format == "png"
     assert rows["u3"].format == "unknown"
     assert rows["u1"].n_bytes == len(png)
     # PNG path is the REAL structural parse, not the stub formula
     assert (rows["u1"].width, rows["u1"].height) == (9, 4)
-    # jpeg stays on the declared deterministic stub
-    assert rows["u2"].width == 16 + 6 % 640
+    # a blob that sniffs JPEG but fails the real T.81 parse is quarantined
+    # as an "invalid" row — never an exception out of the stage
+    assert rows["u2"].format == "invalid"
+    assert (rows["u2"].width, rows["u2"].height) == (0, 0)
 
     from opps_feedcrawler_spark.functions.multimodal import decode_image_pixels
 
@@ -206,8 +208,10 @@ def test_multimodal_audio_video_plumbing(spark):
         "url string, blob binary",
     )
     rows = {r.url: r for r in audio_metadata(df).collect()}
-    # wav path is REAL (round 3): fields come from the RIFF header
-    assert rows["a1"].codec == "wav" and rows["a2"].codec == "mp3"
+    # wav path is REAL (round 3): fields come from the RIFF header;
+    # a blob that sniffs MP3 but fails the real frame-chain parse is
+    # quarantined as codec="invalid" rather than raising
+    assert rows["a1"].codec == "wav" and rows["a2"].codec == "invalid"
     assert rows["a1"].sample_rate == 8000 and rows["a1"].n_channels == 1
     assert rows["a1"].duration_ms == 100
 

@@ -104,9 +104,10 @@ def test_decode_image_meta_png_is_real():
     m = decode_image_meta(png)
     assert (m["format"], m["width"], m["height"]) == ("png", 17, 5)
     assert m["n_bytes"] == len(png)
-    # non-PNG routes to the real JPEG parser, which rejects malformed bytes
-    with pytest.raises(ValueError):
-        decode_image_meta(b"\xff\xd8\xff\xe0rest")
+    # non-PNG routes to the real JPEG parser; malformed bytes become an
+    # "invalid" row (crawl-scale stages must not raise per-blob)
+    bad = decode_image_meta(b"\xff\xd8\xff\xe0rest")
+    assert bad["format"] == "invalid" and bad["width"] == 0
 
 
 def test_fixture_parquet_matches_formula(tmp_path, monkeypatch):

@@ -99,5 +99,6 @@ def test_decode_audio_meta_wav_real_mp3_stub():
     assert real["sample_rate"] == 22050
     assert real["n_channels"] == 1
     assert real["duration_ms"] == 441 * 1000 // 22050
-    stub = decode_audio_meta(b"ID3\x04rest-of-an-mp3")
-    assert stub["codec"] == "mp3"  # declared stub path, deterministic
+    bad = decode_audio_meta(b"ID3\x04rest-of-an-mp3")
+    # sniffs MP3 but has no valid frame chain -> quarantined, not raised
+    assert bad["codec"] == "invalid" and bad["duration_ms"] == 0
