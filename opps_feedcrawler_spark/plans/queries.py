@@ -2831,6 +2831,7 @@ from ..sources.fixtures import (
     JPEG_FIXTURE_PATH,
     MP3_FIXTURE_PATH,
     MP4_FIXTURE_PATH,
+    MP4_FRAMES_FIXTURE_PATH,
     PNG_FIXTURE_PATH,
     WAV_FIXTURE_PATH,
 )
@@ -3045,9 +3046,10 @@ def multimodal_video_meta(spark, sf_dir):
     → moov at 24 → mvhd payload at byte 40: timescale at 52, duration
     at 56) and counts traks by substring arithmetic over the hex (safe:
     the only 0x61-0x74-range bytes in the fixture are the box 4CCs, and
-    the mdat payload is constant 0xAA). Frame/pixel decode remains the
-    declared stub (sample_video_frames); the container metadata path is
-    fully real. Blob rule holds: broadcast metadata side, no shuffle."""
+    the mdat payload is constant 0xAA). Frame DEMUX is real too — see
+    multimodal_video_frames; only codec-level pixel decode of a demuxed
+    frame stays a declared stub. Blob rule holds: broadcast metadata
+    side, no shuffle."""
     from ..functions.multimodal import video_metadata
     from ..sources.fixtures import ensure_mp4_fixture
 
@@ -3057,6 +3059,64 @@ def multimodal_video_meta(spark, sf_dir):
         "url", F.col("mp4").alias("blob")
     )
     return video_metadata(joined, "url", "blob")
+
+
+@_q(
+    "multimodal_video_frames",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                  ELSE 90000 END AS ts,
+             2 + doc_id % 6 AS n
+      FROM read_parquet('{MP4_FRAMES_FIXTURE_PATH}')),
+    fr AS (
+      SELECT doc_id, ts, unnest(range(0, n)) AS i FROM f),
+    calc AS (
+      SELECT doc_id, ts, i,
+             8 + ((doc_id + 3 * i) % 24) AS L,
+             COALESCE(list_sum(list_transform(range(0, i),
+                 x -> 100 + ((doc_id * 7 + x * 13) % 400))), 0) AS dts
+      FROM fr)
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(i AS INT) AS frame_idx,
+           CAST(dts * 1000 // ts AS BIGINT) AS frame_ms,
+           CAST(L AS INT) AS frame_size,
+           CAST(list_sum(list_transform(range(0, L),
+                j -> (doc_id * 2654435761 + i * 1000003 + j * 40503) % 256))
+             AS BIGINT) AS frame_sum,
+           CAST((doc_id * 2654435761 + i * 1000003) % 256 AS INT)
+             AS first_byte,
+           CAST((doc_id * 2654435761 + i * 1000003 + (L - 1) * 40503) % 256
+             AS INT) AS last_byte
+    FROM calc JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video demux through the engine: each fixture MP4 carries a
+    genuine ISO 14496-12 sample table (encode_mp4_samples — stts decode
+    deltas, stsc chunking runs, stsz sizes, stco absolute offsets into
+    mdat), and video_frame_stats locates every frame by WALKING those
+    tables — the same traversal ffmpeg's demuxer performs before any
+    codec work — then slices the true payload bytes and reduces them
+    (size/sum/first/last) with the real decode timestamp rescaled to ms.
+    Non-circular check: the oracle never opens the container; it
+    recomputes every expected value from the fixture's generative
+    formulas (sources/fixtures.py mp4_frame_params/mp4_frame_payload) in
+    exact BIGINT SQL. The routes agree only if the demux finds the true
+    offsets/sizes/timestamps. Blob rule holds: mapInPandas, no blob
+    shuffle; frame sampling policy (uniform k-of-n) is pytest-covered
+    separately — max_frames=8 ≥ the fixture's max 7 samples, so both
+    sides enumerate ALL frames here."""
+    from ..functions.multimodal import video_frame_stats
+    from ..sources.fixtures import ensure_mp4_frames_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    mp4 = spark.read.parquet(ensure_mp4_frames_fixture())
+    joined = mp4.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("mp4").alias("blob")
+    )
+    return video_frame_stats(joined, "url", "blob", max_frames=8)
 
 
 @_q(
@@ -5250,6 +5310,7 @@ _FRONT_ORDER = [
     # --- 50-slot driver window ends here. Everything below is outside
     # the window this round; round 4 leads with whatever still has no
     # CORRECTNESS row, per the round-2 playbook.
+    "multimodal_video_frames",
     "events_funnel_conversion",
     "orders_retention_cohort",
     "text_quality_gate_by_lang",

@@ -42,6 +42,9 @@ MP3_FIXTURE_PATH = os.path.join(
 MP4_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-mp4-fixture-v1.parquet"
 )
+MP4_FRAMES_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-mp4-frames-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -281,6 +284,76 @@ def ensure_mp4_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return MP4_FIXTURE_PATH
+
+
+def mp4_frame_params(doc_id: int) -> tuple[int, list[int], list[int]]:
+    """Fixture sample-table parameters: (media timescale, per-sample
+    durations, per-sample payload lengths) — all pure functions of doc_id
+    so the DuckDB oracle can regenerate them in SQL. 2..7 samples per
+    container (exercises short/full/multi-chunk stsc layouts)."""
+    timescale = (600, 1000, 90000)[doc_id % 3]
+    n = 2 + doc_id % 6
+    durations = [100 + ((doc_id * 7 + i * 13) % 400) for i in range(n)]
+    lengths = [8 + ((doc_id + 3 * i) % 24) for i in range(n)]
+    return timescale, durations, lengths
+
+
+def mp4_frame_payload(doc_id: int, i: int, n: int) -> bytes:
+    """Frame i's payload bytes: the shared Knuth-hash stream salted by
+    (doc_id, frame index) — byte j = (doc_id*2654435761 + i*1000003 +
+    j*40503) mod 256, the exact formula the SQL oracle re-evaluates."""
+    idx = np.arange(n, dtype=np.uint64)
+    return (
+        (
+            np.uint64(doc_id) * np.uint64(2654435761)
+            + np.uint64(i) * np.uint64(1000003)
+            + idx * np.uint64(40503)
+        )
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def ensure_mp4_frames_fixture() -> str:
+    """Create MP4_FRAMES_FIXTURE_PATH if missing; return the path. One
+    REAL fragmentless MP4 per doc_id with a full sample table
+    (encode_mp4_samples — stts/stsc/stsz/stco pointing into mdat), frame
+    payloads from mp4_frame_payload. The engine locates the frames by
+    demuxing the container; the oracle recomputes the same per-frame
+    stats from the generative formula — two independent routes to the
+    same bytes. Atomic like the PNG path."""
+    if os.path.exists(MP4_FRAMES_FIXTURE_PATH):
+        return MP4_FRAMES_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_mp4_samples
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        ts, durations, lengths = mp4_frame_params(doc_id)
+        samples = [
+            mp4_frame_payload(doc_id, i, ln) for i, ln in enumerate(lengths)
+        ]
+        ids.append(doc_id)
+        blobs.append(encode_mp4_samples(ts, durations, samples))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "mp4": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(MP4_FRAMES_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, MP4_FRAMES_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return MP4_FRAMES_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:

@@ -144,3 +144,102 @@ class TestMp4:
         bad = _box(b"ftyp", b"isom" + b"\x00" * 8) + struct.pack(">I", 999) + b"moov"
         with pytest.raises(ValueError):
             parse_mp4_meta(bad)
+
+
+class TestMp4SampleTable:
+    """encode_mp4_samples / parse_mp4_samples: the REAL demux pair. The
+    parser is additionally validated against a hand-assembled stbl (built
+    box-by-box from ISO 14496-12 field layouts, not by the encoder) so
+    decoder correctness does not depend on the encoder."""
+
+    def test_roundtrip_offsets_sizes_dts(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            encode_mp4_samples,
+            parse_mp4_samples,
+        )
+
+        samples = [bytes([40 + i]) * (3 + i) for i in range(8)]
+        durs = [10, 10, 20, 20, 20, 5, 5, 40]
+        blob = encode_mp4_samples(90000, durs, samples)
+        (track,) = parse_mp4_samples(blob)
+        assert track["timescale"] == 90000
+        assert [blob[o : o + s] for o, s, _ in track["samples"]] == samples
+        exp_dts = [0, 10, 20, 40, 60, 80, 85, 90]
+        assert [d for _, _, d in track["samples"]] == exp_dts
+
+    def test_hand_assembled_stbl(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            parse_mp4_samples,
+        )
+
+        def full(t, payload, version=0, flags=0):
+            body = bytes([version]) + flags.to_bytes(3, "big") + payload
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        # 3 samples of sizes 4/5/6 in 2 chunks (2 + 1), deltas 100 each,
+        # media timescale 1000; chunk offsets chosen inside a fake mdat
+        stts = full(b"stts", struct.pack(">III", 1, 3, 100))
+        stsc = full(
+            b"stsc", struct.pack(">I", 2) + struct.pack(">III", 1, 2, 1)
+            + struct.pack(">III", 2, 1, 1)
+        )
+        stsz = full(b"stsz", struct.pack(">II", 0, 3) + struct.pack(">III", 4, 5, 6))
+        stco = full(b"stco", struct.pack(">III", 2, 40, 49))
+        stbl = _box(b"stbl", stts + stsc + stsz + stco)
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 300) + struct.pack(">HH", 0, 0))
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + minf)
+        trak = _box(b"trak", mdia)
+        mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 300) + b"\x00" * 80)
+        ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+        mdat = _box(b"mdat", bytes(range(100)))
+        blob = ftyp + mdat + _box(b"moov", mvhd + trak)
+        (track,) = parse_mp4_samples(blob)
+        assert track["timescale"] == 1000
+        assert track["samples"] == [(40, 4, 0), (44, 5, 100), (49, 6, 200)]
+
+    def test_tracks_without_stbl_are_skipped(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            encode_mp4,
+            parse_mp4_samples,
+        )
+
+        # metadata-only writer emits traks with no mdia/stbl
+        assert parse_mp4_samples(encode_mp4(600, 1200, 2, b"\xaa" * 8)) == []
+
+    def test_uniform_sampling_policy(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            _uniform_indices,
+        )
+
+        assert _uniform_indices(3, 5) == [0, 1, 2]
+        assert _uniform_indices(5, 5) == [0, 1, 2, 3, 4]
+        assert _uniform_indices(100, 5) == [0, 24, 49, 74, 99]
+        idx = _uniform_indices(7, 5)
+        assert idx[0] == 0 and idx[-1] == 6 and idx == sorted(set(idx))
+
+
+def test_sample_video_frames_real_mp4(spark):
+    """The frame-sampling stage is REAL for demuxable MP4s: frame_ms from
+    the true stts timestamps, frame_hash = crc32 of the true mdat slices;
+    non-MP4 blobs keep the declared deterministic stub."""
+    import zlib as _z
+
+    from opps_feedcrawler_spark.functions.multimodal import (
+        encode_mp4_samples,
+        sample_video_frames,
+    )
+
+    samples = [bytes([i * 17 + 1]) * (4 + i) for i in range(4)]
+    blob = encode_mp4_samples(1000, [500, 500, 250, 250], samples)
+    df = spark.createDataFrame(
+        [("v1", blob), ("v2", b"not-a-video")], "url string, blob binary"
+    )
+    rows = {}
+    for r in sample_video_frames(df).collect():
+        rows.setdefault(r.url, []).append(r)
+    real = sorted(rows["v1"], key=lambda r: r.frame_idx)
+    assert [r.frame_ms for r in real] == [0, 500, 1000, 1250]
+    assert [r.frame_hash for r in real] == [_z.crc32(s) for s in samples]
+    # stub arm unchanged for non-containers
+    assert len(rows["v2"]) == 1 + len(b"not-a-video") % 5
