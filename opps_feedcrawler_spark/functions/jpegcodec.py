@@ -1,0 +1,432 @@
+"""REAL baseline JPEG pixel codec (stdlib + numpy only) — ITU T.81
+baseline sequential DCT, single-component (grayscale), 8-bit.
+
+``encode_jpeg_pixels`` runs the full forward pipeline: level shift →
+8x8 2-D DCT → quantization (caller-supplied or Annex K.1 table) →
+zigzag → DC-difference / AC run-length → canonical Huffman coding with
+the Annex K.3 standard luminance tables → byte-stuffed entropy segment
+inside spec-valid marker syntax. ``decode_jpeg_pixels`` is the true
+inverse and trusts ONLY the stream: it reads the DQT/DHT tables carried
+in the file (not the encoder's constants), Huffman-decodes the MCUs,
+undoes the zigzag, dequantizes, applies the inverse DCT and level
+shift, and clips to uint8 — the same math libjpeg performs for baseline
+grayscale, minus the performance engineering.
+
+Scope (declared): baseline sequential, one component, 8-bit precision,
+no restart markers, no progressive/arithmetic modes — the subset the
+engine's fixtures and tests exercise. Anything else raises
+NotImplementedError; malformed streams raise ValueError.
+
+JPEG is lossy in general, so oracle-exact queries use content in the
+codec's *lossless subspace*: images constant within each 8x8 block with
+a flat quantization table round-trip bit-exactly (the DCT of a constant
+block is DC-only and integer after scaling), while pytest covers
+arbitrary content with an error tolerance. This mirrors the PNG-pixels
+strategy: the engine route is bytes → Huffman → IDCT; the oracle route
+is the generative formula — they agree only if the real entropy decode
+finds the real coefficients.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constant tables (all from the public T.81 spec)
+# ---------------------------------------------------------------------------
+
+#: Annex K.1 example luminance quantization table, natural (row-major) order.
+STD_LUMA_QT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+
+#: Flat table — the codec's lossless subspace for block-constant content.
+FLAT_QT = np.ones(64, dtype=np.int32)
+
+# Annex K.3.1 luminance DC: BITS (codes per length 1..16) and HUFFVAL.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+
+# Annex K.3.2 luminance AC.
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag permutation (natural index for each zigzag
+    position), generated from the diagonal traversal definition rather
+    than spelled as a literal — no transcription risk."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1)
+        for i in (rng if d % 2 else reversed(rng)):
+            r, c = i, d - i
+            if r < 8 and c < 8:
+                order.append(r * 8 + c)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()            # zigzag pos -> natural index
+UNZIGZAG = np.argsort(ZIGZAG)       # natural index -> zigzag pos
+
+# 8x8 DCT-II basis matrix: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_X = np.arange(8)
+_DCT_M = np.cos((2 * _X[None, :] + 1) * _X[:, None] * np.pi / 16) / 2.0
+_DCT_M[0, :] /= np.sqrt(2.0)
+
+
+def _build_huffman(bits: list[int], vals: list[int]):
+    """Canonical Huffman per T.81 C.2: returns (encode map symbol ->
+    (code, length), decode map (length, code) -> symbol)."""
+    enc, dec = {}, {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+_DC_ENC, _ = _build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
+_AC_ENC, _ = _build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
+
+
+def _category(v: int) -> int:
+    """Coefficient magnitude category (T.81 F.1.2.1.1): number of bits."""
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
+        return bytes(self.out)
+
+
+def _seg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def encode_jpeg_pixels(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a real baseline JPEG.
+    Edge blocks are padded by edge replication (the conventional choice).
+    The emitted stream carries its own DQT and DHT segments, so any
+    baseline decoder — libjpeg or this module's — reconstructs it."""
+    px = np.asarray(px)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    if px.ndim != 2 or px.dtype != np.uint8:
+        raise ValueError("expected (H, W) uint8 grayscale")
+    h, w = px.shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("JPEG dimensions must be in 1..65535")
+    qt = STD_LUMA_QT if qtable is None else np.asarray(qtable, dtype=np.int32)
+    if qt.shape != (64,) or qt.min() < 1 or qt.max() > 255:
+        raise ValueError("quantization table must be 64 values in 1..255")
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    # all blocks at once: (bh, bw, 8, 8) -> DCT -> quantize
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+    shifted = blocks - 128.0
+    coeffs = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, shifted, _DCT_M)
+    q = np.round(coeffs / qt.reshape(8, 8)).astype(np.int32)
+    zz = q.reshape(bh * bw, 64)[:, ZIGZAG]  # zigzag per block
+
+    bw_out = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        dc = int(blk[0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        cat = _category(diff)
+        code, ln = _DC_ENC[cat]
+        bw_out.write(code, ln)
+        if cat:
+            bits = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw_out.write(bits, cat)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]  # ZRL
+                bw_out.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = _AC_ENC[(run << 4) | cat]
+            bw_out.write(code, ln)
+            bits = v if v >= 0 else v + (1 << cat) - 1
+            bw_out.write(bits, cat)
+            run = 0
+        if last < 63:
+            code, ln = _AC_ENC[0x00]  # EOB
+            bw_out.write(code, ln)
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, app0)
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof0)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bw_out.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _parse_dht(data: bytes, tables: dict) -> None:
+    pos = 0
+    while pos < len(data):
+        tc_th = data[pos]
+        tc, th = tc_th >> 4, tc_th & 0x0F
+        bits = list(data[pos + 1 : pos + 17])
+        n = sum(bits)
+        vals = list(data[pos + 17 : pos + 17 + n])
+        if len(vals) != n:
+            raise ValueError("DHT truncated")
+        _, dec = _build_huffman(bits, vals)
+        tables[(tc, th)] = dec
+        pos += 17 + n
+
+
+def _parse_dqt(data: bytes, tables: dict) -> None:
+    pos = 0
+    while pos < len(data):
+        pq_tq = data[pos]
+        pq, tq = pq_tq >> 4, pq_tq & 0x0F
+        if pq != 0:
+            raise NotImplementedError("16-bit quantization tables")
+        zz = np.frombuffer(data[pos + 1 : pos + 65], dtype=np.uint8)
+        if len(zz) != 64:
+            raise ValueError("DQT truncated")
+        nat = np.zeros(64, dtype=np.int32)
+        nat[ZIGZAG] = zz  # stream order is zigzag
+        tables[tq] = nat
+        pos += 65
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing done upfront."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(
+            np.frombuffer(data.replace(b"\xff\x00", b"\xff"), dtype=np.uint8)
+        )
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("entropy segment exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, dec: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = dec.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(bits: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map received bits to a signed coefficient."""
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
+    """Decode a baseline single-component JPEG to an (H, W, 1) uint8
+    array. Trusts only the stream: quantization and Huffman tables are
+    read from the file's own DQT/DHT segments."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    n = len(blob)
+    i = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    while i + 2 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {i}")
+        j = i
+        while j < n and blob[j] == 0xFF:
+            j += 1
+        if j >= n:
+            break
+        marker = blob[j]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i = j + 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", blob[j + 1 : j + 3])
+        data = blob[j + 3 : j + 1 + seglen]
+        if marker == 0xDB:
+            _parse_dqt(data, qtables)
+        elif marker == 0xC4:
+            _parse_dht(data, htables)
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if nc != 1:
+                raise NotImplementedError("only single-component (grayscale)")
+            comp_id, sampling, tq = data[6], data[7], data[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampling on a 1-component frame")
+            frame = (h, w, comp_id, tq)
+        elif marker in (0xC1,):  # extended sequential, same entropy coding
+            raise NotImplementedError("extended sequential JPEG")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG mode")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            td_ta = data[2]
+            scan = (td_ta >> 4, td_ta & 0x0F)
+            # entropy data runs from after SOS header to the next marker
+            # that is not a stuffed 0xFF00 / RST
+            epos = j + 1 + seglen
+            eend = epos
+            while eend + 1 < n:
+                if blob[eend] == 0xFF and blob[eend + 1] not in (0x00,) and not (
+                    0xD0 <= blob[eend + 1] <= 0xD7
+                ):
+                    break
+                eend += 1
+            entropy = blob[epos:eend]
+            return _decode_scan(frame, scan, entropy, qtables, htables)
+        i = j + 1 + seglen
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(frame, scan, entropy: bytes, qtables, htables) -> np.ndarray:
+    h, w, _comp_id, tq = frame
+    td, ta = scan
+    if tq not in qtables:
+        raise ValueError("scan references missing quantization table")
+    if (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("scan references missing Huffman table")
+    qt = qtables[tq]
+    dc_dec, ac_dec = htables[(0, td)], htables[(1, ta)]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    reader = _BitReader(entropy)
+    zz = np.zeros((bh * bw, 64), dtype=np.int32)
+    prev_dc = 0
+    for b in range(bh * bw):
+        cat = reader.read_symbol(dc_dec)
+        diff = _extend(reader.read_bits(cat), cat)
+        prev_dc += diff
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(ac_dec)
+            if rs == 0x00:  # EOB
+                break
+            run, cat = rs >> 4, rs & 0x0F
+            if cat == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overruns block")
+            zz[b, k] = _extend(reader.read_bits(cat), cat)
+            k += 1
+    nat = np.zeros_like(zz)
+    nat[:, ZIGZAG] = zz  # undo zigzag
+    coeffs = (nat * qt).reshape(bh, bw, 8, 8).astype(np.float64)
+    # inverse DCT: B = M.T @ C @ M
+    spatial = np.einsum("xu,bcuv,vy->bcxy", _DCT_M.T, coeffs, _DCT_M.T.T)
+    px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+    full = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return full[:h, :w].reshape(h, w, 1)

@@ -352,13 +352,20 @@ def decode_png_pixels(blob: bytes):
 
 def decode_image_pixels(blob: bytes):
     """Pixel decode. PNG is REAL (decode_png_pixels — inflate + full
-    unfilter); JPEG entropy decode requires libjpeg, absent from this
-    container, and stays a declared stub (a real deploy swaps in
-    PIL/libvips here)."""
+    unfilter) and baseline grayscale JPEG is REAL too
+    (functions/jpegcodec.decode_jpeg_pixels — stream-carried DQT/DHT,
+    Huffman entropy decode, dequant, inverse DCT, level shift); other
+    formats and non-baseline JPEG modes raise NotImplementedError (a
+    real deploy swaps in PIL/libvips here)."""
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
+    if blob[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(blob)
     raise NotImplementedError(
-        "non-PNG pixel decode requires PIL/libvips; not available in this environment"
+        "pixel decode for this format requires PIL/libvips; "
+        "not available in this environment"
     )
 
 
@@ -391,17 +398,18 @@ PIXEL_STATS_SCHEMA = (
 def image_pixel_stats(
     df: DataFrame, url_col: str = "url", bin_col: str = "blob"
 ) -> DataFrame:
-    """mapInPandas REAL-pixel stage: decode_png_pixels per blob (inflate
-    + unfilter), then numpy reductions — the shape of any real
-    brightness/NSFW/quality scorer over decoded pixels. Narrow, no blob
-    shuffle, Arrow-bounded batches."""
+    """mapInPandas REAL-pixel stage: decode_image_pixels per blob (PNG
+    inflate+unfilter or baseline-JPEG Huffman+IDCT), then numpy
+    reductions — the shape of any real brightness/NSFW/quality scorer
+    over decoded pixels. Narrow, no blob shuffle, Arrow-bounded
+    batches."""
     import numpy as np
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for b in pdf[bin_col]:
-                px = decode_png_pixels(bytes(b))
+                px = decode_image_pixels(bytes(b))
                 flat = px.reshape(-1).astype(np.int64)
                 rows.append(
                     {

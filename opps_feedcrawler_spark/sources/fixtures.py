@@ -45,6 +45,9 @@ MP4_FIXTURE_PATH = os.path.join(
 MP4_FRAMES_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-mp4-frames-fixture-v1.parquet"
 )
+JPEG_PX_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-jpeg-px-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -284,6 +287,57 @@ def ensure_mp4_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return MP4_FIXTURE_PATH
+
+
+def jpeg_px_blocks(doc_id: int) -> tuple[int, int]:
+    """Pixel-fixture block grid (blocks_wide, blocks_high): images are
+    8*bw x 8*bh, constant within each 8x8 block — the baseline-JPEG
+    lossless subspace under a flat quantization table, so the REAL
+    encoder/decoder round-trip is bit-exact and the SQL oracle can
+    recompute pixel stats from the block-value formula."""
+    return 1 + doc_id % 6, 1 + (doc_id * 3) % 4
+
+
+def ensure_jpeg_px_fixture() -> str:
+    """Create JPEG_PX_FIXTURE_PATH if missing; return the path. One REAL
+    baseline JPEG per doc_id — full DCT/quant/Huffman pipeline
+    (functions/jpegcodec.encode_jpeg_pixels, flat table) over a
+    block-constant image whose block k value is png_payload(doc_id)[k].
+    The engine recovers the pixels by true entropy decode + IDCT; the
+    oracle recomputes the stats from the formula. Atomic."""
+    if os.path.exists(JPEG_PX_FIXTURE_PATH):
+        return JPEG_PX_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.jpegcodec import FLAT_QT, encode_jpeg_pixels
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        bw, bh = jpeg_px_blocks(doc_id)
+        vals = np.frombuffer(
+            png_payload(doc_id, bw * bh), dtype=np.uint8
+        ).reshape(bh, bw)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        ids.append(doc_id)
+        blobs.append(encode_jpeg_pixels(img, FLAT_QT))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "jpeg": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(JPEG_PX_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, JPEG_PX_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return JPEG_PX_FIXTURE_PATH
 
 
 def mp4_frame_params(doc_id: int) -> tuple[int, list[int], list[int]]:

@@ -118,3 +118,101 @@ def test_decode_image_meta_dispatches_jpeg_for_real():
     # REAL dims from SOF0, not the old n_bytes-derived stub formula
     assert (meta["width"], meta["height"]) == (64, 32)
     assert meta["n_bytes"] == len(blob)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel codec (functions/jpegcodec.py): full baseline pipeline.
+# Decoder independence: one case decodes a HAND-ASSEMBLED entropy segment
+# whose bits were derived on paper from the T.81 canonical-code rules, so
+# decoder correctness is not defined by the encoder.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from opps_feedcrawler_spark.functions.jpegcodec import (
+    FLAT_QT,
+    STD_LUMA_QT,
+    ZIGZAG,
+    decode_jpeg_pixels,
+    encode_jpeg_pixels,
+)
+
+
+def test_block_constant_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, size=(3, 7), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = decode_jpeg_pixels(encode_jpeg_pixels(img, FLAT_QT))
+    assert out.shape == (24, 56, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_lossy_roundtrip_bounded_error():
+    x = np.linspace(0, 255, 48)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_pixels(img, STD_LUMA_QT))[:, :, 0]
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+
+def test_flat_qt_near_lossless_on_noise_and_edge_padding():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)  # ragged dims
+    out = decode_jpeg_pixels(encode_jpeg_pixels(img, FLAT_QT))[:, :, 0]
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_decoder_on_hand_assembled_stream():
+    """Constant-133 8x8 image, flat table: DC = 8*(133-128) = 40
+    (category 6), all ACs zero. Canonical std-table codes derived by
+    hand: DC cat-6 = '1110' (the single length-4 code after 0 len-1,
+    1 len-2, 5 len-3 codes), 40 = '101000'; AC EOB = '1010' (4th code:
+    len-2 '00','01', len-3 '100', len-4 starts at '1010'). Stream
+    '1110 101000 1010' + two 1-pad bits = 0xEA 0x2B."""
+    entropy = bytes([0xEA, 0x2B])
+    blob = encode_jpeg_pixels(np.full((8, 8), 133, dtype=np.uint8), FLAT_QT)
+    # the encoder must have produced exactly this segment (SOS..EOI)
+    assert blob.endswith(entropy + b"\xff\xd9")
+    out = decode_jpeg_pixels(blob)
+    assert np.array_equal(out[:, :, 0], np.full((8, 8), 133))
+
+
+def test_decoder_trusts_stream_tables_not_constants():
+    """Encode with a custom quantization table; the decoder must read it
+    from the stream's DQT (natural-order reconstruction from zigzag) to
+    reproduce the pixels."""
+    qt = np.full(64, 3, dtype=np.int32)
+    qt[0] = 1  # keep DC exact for block-constant content
+    blocks = np.array([[7, 200], [123, 45]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = decode_jpeg_pixels(encode_jpeg_pixels(img, qt))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_zigzag_is_the_spec_permutation():
+    # spot-check the first and last diagonal entries of the T.81 table
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZIGZAG[-6:]) == [61, 54, 47, 55, 62, 63]
+
+
+def test_decode_rejects_unsupported_modes():
+    blob = encode_jpeg_pixels(np.zeros((8, 8), dtype=np.uint8), FLAT_QT)
+    progressive = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x89PNG not a jpeg")
+
+
+def test_image_pixel_stats_routes_jpeg(spark):
+    from opps_feedcrawler_spark.functions.multimodal import image_pixel_stats
+
+    blocks = np.array([[10, 250, 3]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    blob = encode_jpeg_pixels(img, FLAT_QT)
+    df = spark.createDataFrame([("j1", blob)], "url string, blob binary")
+    (r,) = image_pixel_stats(df).collect()
+    assert (r.width, r.height) == (24, 8)
+    assert r.sum_px == 64 * (10 + 250 + 3)
+    assert (r.min_px, r.max_px) == (3, 250)
