@@ -1221,14 +1221,27 @@ def byte_histogram_features(
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Thumbnail resize. Grayscale PNG is REAL (resize_png — decode,
-    nearest-neighbor resample, re-encode); other formats need a pixel
-    decoder absent from this container (same swap point as
-    decode_image_pixels)."""
+    """Thumbnail resize. Grayscale PNG and baseline grayscale JPEG are
+    REAL (decode → nearest-neighbor resample → re-encode with the real
+    encoders); other formats need a pixel decoder absent from this
+    container (same swap point as decode_image_pixels)."""
     if blob[:8] == _PNG_SIG:
         return resize_png(blob, width, height)
+    if blob[:2] == b"\xff\xd8":
+        import numpy as np
+
+        from .jpegcodec import decode_jpeg_pixels, encode_jpeg_pixels
+
+        if width <= 0 or height <= 0:
+            raise ValueError("resize dimensions must be positive")
+        px = decode_jpeg_pixels(blob)
+        src_h, src_w = px.shape[:2]
+        rows = (np.arange(height) * src_h) // height
+        cols = (np.arange(width) * src_w) // width
+        return encode_jpeg_pixels(px[rows][:, cols, 0])
     raise NotImplementedError(
-        "non-PNG resize requires PIL/libvips; not available in this environment"
+        "resize for this format requires PIL/libvips; "
+        "not available in this environment"
     )
 
 

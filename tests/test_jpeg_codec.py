@@ -216,3 +216,17 @@ def test_image_pixel_stats_routes_jpeg(spark):
     assert (r.width, r.height) == (24, 8)
     assert r.sum_px == 64 * (10 + 250 + 3)
     assert (r.min_px, r.max_px) == (3, 250)
+
+
+def test_resize_image_jpeg_real():
+    from opps_feedcrawler_spark.functions.multimodal import resize_image
+
+    blocks = np.arange(16, dtype=np.uint8).reshape(2, 8) * 16
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))  # 16x64
+    thumb = resize_image(encode_jpeg_pixels(img, FLAT_QT), 8, 2)
+    out = decode_jpeg_pixels(thumb)[:, :, 0]
+    # nearest-neighbor floor mapping picks block centers exactly; the
+    # re-encode uses the std table but an 8x2 image of constant 8x8 ...
+    # -> only partial blocks; tolerance bound instead of exactness
+    expect = img[(np.arange(2) * 16) // 2][:, (np.arange(8) * 64) // 8]
+    assert np.abs(out.astype(int) - expect.astype(int)).max() <= 16
