@@ -4975,7 +4975,15 @@ def dedup_cluster_canonical(spark, sf_dir):
     Scale: per iteration one edges⋈labels join + groupBy MIN (map-side
     partial); canon is one window over components (skew-free: near-dup
     clusters are small by construction — a giant component would mean
-    the threshold is wrong, which the cluster-size histogram exposes)."""
+    the threshold is wrong, which the cluster-size histogram exposes).
+    Each iteration's labels are persisted AND eagerly materialized
+    before the next — ``labels`` appears twice in iteration i+1 (probe
+    side and incoming side), so a lazy loop doubles the unevaluated
+    subtree per iteration: 2^k copies of the pair-generation plan by
+    iteration k. Lineage truncation here is what makes the iterative
+    operator viable at ANY scale (same discipline as pagerank_mass_3iter
+    / connected_components_3iter); intermediates are unpersisted as soon
+    as their successor is materialized."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     pairs = dedup.jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
     edges = (
@@ -4995,10 +5003,21 @@ def dedup_cluster_canonical(spark, sf_dir):
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr"))
         )
-        labels = labels.join(incoming, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+        new_labels = (
+            labels.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr", "label")).alias(
+                    "label"
+                ),
+            )
+            .persist()
         )
+        new_labels.count()  # materialize: truncate lineage for the next pass
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+    edges.unpersist()  # final labels are materialized; edges done
     stats = labels.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
