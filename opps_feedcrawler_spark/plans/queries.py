@@ -3905,6 +3905,63 @@ def warc_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "crawl_warc_cdx",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             doc_id // 100 AS shard,
+             {_DOC_URL_SQL} AS url,
+             octet_length(CAST(text AS BLOB)) AS L,
+             sha256(text) AS digest
+      FROM documents),
+    s AS (
+      SELECT *,
+             107 + length(url) + length(CAST(L AS VARCHAR)) + L AS rec_len
+      FROM r)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           url,
+           '20240301000000' AS cdx_ts,
+           CAST(COALESCE(SUM(rec_len) OVER (
+                  PARTITION BY shard ORDER BY url
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset",
+           CAST(rec_len AS BIGINT) AS record_length,
+           digest
+    FROM s
+    """,
+)
+def crawl_warc_cdx(spark, sf_dir):
+    """CDX indexing of WARC shards — the web-archive index replay tools
+    (pywb / OpenWayback) and Common Crawl's own cc-index pipeline build:
+    for every record in every shard file, (url, timestamp, byte offset,
+    record length, payload digest). Two real stages: to_warc_sharded
+    packs deterministic shard files (one shuffle on the size-bounded
+    shard key — the production shard write), then cdx_index re-walks
+    each archive's bytes with the length-driven record parser, tracking
+    offsets, and sha256-digests each payload. Non-circular check: the
+    oracle never builds or parses an archive — it PREDICTS every offset
+    from the WARC grammar arithmetic (fixed header skeleton of 107 bytes
+    + url length + content-length digit count + payload bytes, summed
+    over the shard's url-ordered predecessors) and the digest via its
+    own sha256. They agree only if the writer emits exactly the spec
+    layout and the index walk finds the true record boundaries. Scale:
+    shard composition is explicit (doc_id // 100), offsets are
+    archive-relative, and indexing is a narrow map over the shard
+    blobs."""
+    from datetime import datetime as _dt
+
+    from ..sources.warc import cdx_index, to_warc_sharded
+
+    records = _doc_urls(spark, sf_dir).select(
+        (F.col("doc_id") / 100).cast("long").alias("shard"),
+        "url",
+        F.lit(_dt(2024, 3, 1)).alias("warc_date"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return cdx_index(to_warc_sharded(records))
+
+
+@_q(
     "crawl_url_template_mining",
     f"""
     WITH urls AS (
@@ -5382,6 +5439,7 @@ _FRONT_ORDER = [
     # CORRECTNESS row, per the round-2 playbook.
     "multimodal_video_frames",
     "multimodal_jpeg_pixels",
+    "crawl_warc_cdx",
     "events_funnel_conversion",
     "orders_retention_cohort",
     "text_quality_gate_by_lang",

@@ -248,3 +248,49 @@ def test_dedup_doc_lines_order_and_counts(spark):
     )
     r = dedup_doc_lines(df).collect()[0]
     assert (r.n_lines, r.n_unique, r.cleaned_text) == (6, 3, "b\na\nc")
+
+
+def test_warc_sharded_and_cdx_index(spark):
+    """to_warc_sharded: deterministic shard composition (url-ordered);
+    cdx_index: offsets/lengths from the real record walk match a
+    transparent re-scan of the archive bytes, digests are true sha256."""
+    import hashlib
+    from datetime import datetime
+
+    from opps_feedcrawler_spark.sources.warc import (
+        _parse_warc_offsets,
+        cdx_index,
+        to_warc_sharded,
+    )
+
+    rows = [
+        (i // 3, f"http://h/{chr(122 - i)}", datetime(2024, 3, 1), bytes([i]) * (5 + i))
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "shard long, url string, warc_date timestamp, payload binary"
+    )
+    arch = {r.shard: bytes(r.archive) for r in to_warc_sharded(df).collect()}
+    assert set(arch) == {0, 1, 2}
+    # records inside each shard are url-sorted
+    for shard, blob in arch.items():
+        recs = _parse_warc_offsets(blob)
+        urls = [r["url"] for r in recs]
+        assert urls == sorted(urls)
+        assert len(recs) == sum(1 for r in rows if r[0] == shard)
+    # CDX rows agree with an independent rescan
+    cdx = {
+        (r.shard, r.url): r for r in cdx_index(to_warc_sharded(df)).collect()
+    }
+    assert len(cdx) == 7
+    by_payload = {f"http://h/{chr(122 - i)}": bytes([i]) * (5 + i) for i in range(7)}
+    for (shard, url), r in cdx.items():
+        blob = arch[shard]
+        rec = next(x for x in _parse_warc_offsets(blob) if x["url"] == url)
+        assert r.offset == rec["offset"]
+        assert r.cdx_ts == "20240301000000"
+        assert r.digest == hashlib.sha256(by_payload[url]).hexdigest()
+        # record_length covers exactly [offset, next offset or EOF)
+        assert blob[r.offset : r.offset + 8] == b"WARC/1.0"
+        tail = blob[r.offset + r.record_length : r.offset + r.record_length + 8]
+        assert tail == b"" or tail == b"WARC/1.0"
