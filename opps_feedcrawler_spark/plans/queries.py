@@ -1378,6 +1378,54 @@ def crawl_canonicalize(spark, sf_dir):
 
 
 @_q(
+    "streaming_seed_ingest",
+    f"""
+    SELECT 'http://' || lower(source) || '.example/doc/'
+             || CAST(doc_id AS VARCHAR) || '?b=2' AS url_norm,
+           lower(source) || '.example' AS host
+    FROM documents
+    """,
+)
+def streaming_seed_ingest(spark, sf_dir):
+    """Continuous frontier feeding through the REAL Structured Streaming
+    pipeline (streaming/ingest.stream_seed_ingest): raw seed lines — two
+    messy aliases of every document URL plus comment/blank noise — land
+    in a text-file stream, are canonicalized by the batch engine's A2
+    kernel inside the stream, deduplicated with checkpointed state, and
+    drained exactly-once into a parquet sink via trigger(availableNow).
+    The oracle constructs the expected canonical form algebraically
+    (same trick as crawl_canonicalize); both aliases of a URL must
+    collapse to ONE row for the counts to match, so the streaming dedup
+    state is load-bearing in the check."""
+    import tempfile
+
+    from ..streaming.ingest import run_available_now, stream_seed_ingest
+
+    d = T(spark, sf_dir, "documents")
+    lines = d.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://"), F.upper(F.col("source")),
+                    F.lit(".EXAMPLE:80/./doc/"), F.col("doc_id").cast("string"),
+                    F.lit("?utm_source=x&b=2#frag"),
+                ),
+                F.concat(
+                    F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+                    F.col("doc_id").cast("string"), F.lit("?b=2"),
+                ),
+                F.lit("# comment noise"),
+            )
+        ).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="ofs-seed-stream-")
+    seed_dir, out_dir, ckpt = f"{base}/seeds", f"{base}/out", f"{base}/ckpt"
+    lines.coalesce(1).write.mode("overwrite").text(seed_dir)
+    run_available_now(stream_seed_ingest(spark, seed_dir), out_dir, ckpt)
+    return spark.read.parquet(out_dir).select("url_norm", "host")
+
+
+@_q(
     "crawl_host_extract",
     f"""
     SELECT doc_id,
@@ -5440,6 +5488,7 @@ _FRONT_ORDER = [
     "multimodal_video_frames",
     "multimodal_jpeg_pixels",
     "crawl_warc_cdx",
+    "streaming_seed_ingest",
     "events_funnel_conversion",
     "orders_retention_cohort",
     "text_quality_gate_by_lang",

@@ -105,3 +105,31 @@ def stateful_host_rate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_seed_ingest(spark: SparkSession, seed_dir: str) -> DataFrame:
+    """Continuous frontier feeding: a text-file stream of raw seed URLs
+    (one per line — the drop-files-in-a-bucket integration every crawl
+    operation grows) is canonicalized with the SAME A2-A4 kernel the
+    batch rounds use (with_url_cols: RFC 3986 normalize, xxhash64,
+    host + salt) and deduplicated on url_norm with streaming state, so a
+    URL enters the frontier exactly once across ALL micro-batches and
+    restarts (checkpointed dedup state + file-source exactly-once give
+    end-to-end no-redelivery into the sink).
+
+    Scale note: unbounded dropDuplicates state is the streaming
+    equivalent of the exact seen set and is the right tool at seed-feed
+    rates (operations feed thousands of seeds, not billions); the
+    crawl's own 10^10-URL dedup stays on the batch bloom/cuckoo path
+    (operators/seen.py), which this stream FEEDS, not replaces."""
+    from ..functions.urlnorm import with_url_cols
+
+    raw = spark.readStream.format("text").load(seed_dir)
+    cand = (
+        raw.select(F.trim(F.col("value")).alias("url"))
+        .filter(F.length("url") > 0)
+        .filter(~F.col("url").startswith("#"))  # comment lines
+    )
+    return with_url_cols(cand, "url").select(
+        "url_norm", "host", "url_hash", "salt"
+    ).dropDuplicates(["url_norm"])

@@ -82,3 +82,41 @@ def test_stateful_host_rate_tracks_across_batches(spark, tmp_path):
     assert latest["a.example"].n_violations == 2  # one in-batch + one cross-batch
     assert latest["b.example"].n_fetched == 2
     assert latest["b.example"].n_violations == 0
+
+
+def test_stream_seed_ingest_exactly_once_across_restarts(spark, tmp_path):
+    """Two drains over the same checkpoint: batch-2 re-deliveries of
+    batch-1 URLs (including non-canonical aliases of them) must not
+    re-enter the frontier; new URLs must. This is the checkpointed-dedup
+    contract continuous seed feeding relies on."""
+    from opps_feedcrawler_spark.streaming.ingest import (
+        run_available_now,
+        stream_seed_ingest,
+    )
+
+    seeds = tmp_path / "seeds"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    seeds.mkdir()
+    (seeds / "b1.txt").write_text(
+        "http://a.example/x\n"
+        "# a comment line\n"
+        "HTTP://A.EXAMPLE:80/x\n"          # alias of the first
+        "http://b.example/y?b=2&a=1\n"
+        "\n"
+    )
+    run_available_now(stream_seed_ingest(spark, str(seeds)), str(out), str(ck))
+    first = {r.url_norm for r in spark.read.parquet(str(out)).collect()}
+    assert first == {
+        "http://a.example/x",
+        "http://b.example/y?a=1&b=2",
+    }
+    # second feed: one duplicate (alias form), one genuinely new URL
+    (seeds / "b2.txt").write_text(
+        "http://a.example/./x\n"
+        "http://c.example/z\n"
+    )
+    run_available_now(stream_seed_ingest(spark, str(seeds)), str(out), str(ck))
+    rows = [r.url_norm for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(rows) == sorted(first | {"http://c.example/z"})
+    assert len(rows) == 3  # no re-delivery of batch-1 rows
