@@ -3115,6 +3115,62 @@ def multimodal_mp3_meta(spark, sf_dir):
 
 
 @_q(
+    "multimodal_audio_waveform",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             (1 + doc_id % 2) * (50 + (doc_id * 13) % 400) AS n
+      FROM read_parquet('{WAV_FIXTURE_PATH}')),
+    s AS (
+      SELECT doc_id, rate, n,
+             list_transform(range(0, n), j ->
+               CASE WHEN ((doc_id * 2654435761 + (2*j) * 40503) % 256)
+                       + 256 * ((doc_id * 2654435761 + (2*j+1) * 40503) % 256)
+                       >= 32768
+                    THEN ((doc_id * 2654435761 + (2*j) * 40503) % 256)
+                       + 256 * ((doc_id * 2654435761 + (2*j+1) * 40503) % 256)
+                       - 65536
+                    ELSE ((doc_id * 2654435761 + (2*j) * 40503) % 256)
+                       + 256 * ((doc_id * 2654435761 + (2*j+1) * 40503) % 256)
+               END) AS vals
+      FROM p)
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(vals, v -> abs(v))) AS BIGINT)
+             AS sum_abs,
+           CAST(list_max(list_transform(vals, v -> abs(v))) AS INT) AS peak,
+           CAST(list_sum(vals) AS BIGINT) AS dc_sum
+    FROM s JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_audio_waveform(spark, sf_dir):
+    """REAL waveform decode through the engine: raw PCM is the one audio
+    coding that needs no codec library — decode_wav_samples walks the
+    RIFF chunks to the data payload and reinterprets it as little-endian
+    int16 frames x channels, and audio_waveform_stats numpy-reduces the
+    amplitudes (total |amplitude|, peak, DC sum) — the loudness/silence/
+    clipping scorer shape of a real audio pipeline. Non-circular check:
+    the oracle never reads the RIFF layout — it recomputes every int16
+    sample from the fixture's generative byte formula (two Knuth-hash
+    bytes -> signed LE int16) in exact BIGINT SQL. The routes agree only
+    if the chunk walk finds the true payload and the sign/endianness
+    reinterpretation is right. Blob rule holds: mapInPandas, no blob
+    shuffle."""
+    from ..functions.multimodal import audio_waveform_stats
+    from ..sources.fixtures import ensure_wav_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    wav = spark.read.parquet(ensure_wav_fixture())
+    joined = wav.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("wav").alias("blob")
+    )
+    return audio_waveform_stats(joined, "url", "blob")
+
+
+@_q(
     "multimodal_video_meta",
     f"""
     WITH f AS (
@@ -5489,6 +5545,7 @@ _FRONT_ORDER = [
     "multimodal_jpeg_pixels",
     "crawl_warc_cdx",
     "streaming_seed_ingest",
+    "multimodal_audio_waveform",
     "events_funnel_conversion",
     "orders_retention_cohort",
     "text_quality_gate_by_lang",

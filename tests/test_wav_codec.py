@@ -102,3 +102,40 @@ def test_decode_audio_meta_wav_real_mp3_stub():
     bad = decode_audio_meta(b"ID3\x04rest-of-an-mp3")
     # sniffs MP3 but has no valid frame chain -> quarantined, not raised
     assert bad["codec"] == "invalid" and bad["duration_ms"] == 0
+
+
+def test_decode_wav_samples_real_pcm():
+    """PCM reinterpretation: known int16 values round-trip through
+    encode_wav bytes, stereo reshapes (frames, 2), 8-bit path works,
+    trailing partial frame is dropped like any PCM reader does."""
+    import numpy as np
+
+    from opps_feedcrawler_spark.functions.multimodal import (
+        decode_wav_samples,
+    )
+
+    vals = np.array([0, 1, -1, 32767, -32768, 12345, -54], dtype=np.int16)
+    blob = encode_wav(8000, 1, vals.tobytes())
+    out = decode_wav_samples(blob)
+    assert out.shape == (7, 1)
+    assert out[:, 0].tolist() == vals.astype(int).tolist()
+    # stereo: interleaved L/R
+    st = encode_wav(44100, 2, np.array([1, -2, 3, -4], dtype=np.int16).tobytes())
+    assert decode_wav_samples(st).tolist() == [[1, -2], [3, -4]]
+
+
+def test_audio_waveform_stats_spark(spark):
+    import numpy as np
+
+    from opps_feedcrawler_spark.functions.multimodal import (
+        audio_waveform_stats,
+    )
+
+    vals = np.array([100, -200, 300, -32768], dtype=np.int16)
+    blob = encode_wav(16000, 1, vals.tobytes())
+    df = spark.createDataFrame([("w1", blob)], "url string, blob binary")
+    (r,) = audio_waveform_stats(df).collect()
+    assert r.sample_rate == 16000 and r.n_samples == 4
+    assert r.sum_abs == 100 + 200 + 300 + 32768
+    assert r.peak == 32768
+    assert r.dc_sum == 100 - 200 + 300 - 32768
