@@ -1743,6 +1743,26 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
+@_q("text_bpe_encode")
+def text_bpe_encode(spark, sf_dir):
+    """REAL BPE train + apply (functions/bpe.py — Sennrich 2016 / the
+    GPT-2 encode loop): a 200-merge table is learned driver-side on a
+    bounded deterministic sample (xxhash64 draw, the k-means pattern),
+    shipped in the UDF closure, and every document is encoded with the
+    greedy lowest-rank merge loop (Arrow-batched, per-batch distinct-word
+    cache — Zipf makes that cache the whole cost model). Output is the
+    per-doc token accounting (pretokens / BPE tokens / chars). Rows-only
+    by nature: the merge loop is iterative and not SQL-expressible —
+    algorithm correctness is pinned by pytest instead (hand-derived
+    textbook merge order, monotonic-compression and rejoin invariants,
+    tie-break determinism: tests/test_bpe.py)."""
+    from ..functions.bpe import apply_bpe, train_bpe_merges
+
+    d = T(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, n_merges=200)
+    return apply_bpe(d, merges)
+
+
 @_q(
     "text_rare_word_stats",
     r"""
@@ -5546,6 +5566,7 @@ _FRONT_ORDER = [
     "crawl_warc_cdx",
     "streaming_seed_ingest",
     "multimodal_audio_waveform",
+    "text_bpe_encode",
     "events_funnel_conversion",
     "orders_retention_cohort",
     "text_quality_gate_by_lang",
