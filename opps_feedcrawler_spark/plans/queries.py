@@ -2559,6 +2559,15 @@ def connected_components_3iter(spark, sf_dir):
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     )
+    # Lazy unroll is DELIBERATE here (measured): labels appears twice per
+    # iteration, so the unevaluated state subtree doubles per pass — but
+    # the state source is one cheap projection of a cached table, and at 3
+    # bounded iterations recomputing it inside ONE job costs less than 3
+    # eager materialization jobs (A/B at sf0.1: lazy ~2.1 s vs
+    # persist+count ~4.3 s warm). The opposite trade holds when the state
+    # subtree is expensive — dedup_cluster_canonical's pair generation —
+    # where the loop DOES persist+materialize per pass; a production
+    # fixpoint loop needs the eager form anyway for its termination test.
     for _ in range(_CC_ITERS):
         incoming = (
             edges.join(labels, edges["src"] == labels["node"])
