@@ -401,8 +401,11 @@ def image_pixel_stats(
     """mapInPandas REAL-pixel stage: decode_image_pixels per blob (PNG
     inflate+unfilter or baseline-JPEG Huffman+IDCT), then numpy
     reductions — the shape of any real brightness/NSFW/quality scorer
-    over decoded pixels. Narrow, no blob shuffle, Arrow-bounded
-    batches."""
+    over decoded pixels. Narrow, no blob shuffle, Arrow-bounded batches.
+    Strict by contract: feed it blobs already routed/validated by
+    image_metadata (format not in {unknown, invalid}) — the metadata
+    stage is the crawl-corpus quarantine layer; here a parse error is a
+    pipeline bug and raises."""
     import numpy as np
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
