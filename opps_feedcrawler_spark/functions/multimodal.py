@@ -33,6 +33,11 @@ partition-preserving mapInPandas. Codec status per format:
   applies the full RFC 2083 unfilter set (None/Sub/Up/Average/Paeth,
   byte-exact) for 8-bit gray/RGB/GA/RGBA; ``resize_png`` does real
   nearest-neighbor thumbnails (decode → resample → re-encode).
+- **GIF: REAL, fully** (``functions/gifcodec.py``): GIF89a block walk
+  (frame counting, GCE delay summation), variable-width LSB-first LZW
+  decode AND encode (width bumps, CLEAR resets, KwKwK), palette lookup,
+  nearest-neighbor resize. GIF is lossless, so any content round-trips
+  bit-exactly — no codec library involved anywhere.
 - **MP4 sample demux: REAL.** ``parse_mp4_samples`` walks each trak's
   stts/stsz/stsc/stco (+mdhd timescale, co64) to per-sample absolute
   offsets/sizes/decode-times — the demuxer traversal ffmpeg performs
@@ -250,6 +255,10 @@ def decode_image_meta(blob: bytes) -> dict:
         sniffed = ("png", parse_png_meta)
     elif blob[:2] == b"\xff\xd8":
         sniffed = ("jpeg", parse_jpeg_meta)
+    elif blob[:4] == b"GIF8":
+        from .gifcodec import parse_gif_meta
+
+        sniffed = ("gif", parse_gif_meta)
     if sniffed is not None:
         fmt, parser = sniffed
         try:
@@ -268,7 +277,7 @@ def decode_image_meta(blob: bytes) -> dict:
             "format": fmt,
             "width": meta["width"],
             "height": meta["height"],
-            "n_frames": 1,
+            "n_frames": meta.get("n_frames", 1),
             "sample_hash": (h % (1 << 62)),
         }
     # deterministic pseudo-dimensions derived from content, not random
@@ -363,6 +372,10 @@ def decode_image_pixels(blob: bytes):
         from .jpegcodec import decode_jpeg_pixels
 
         return decode_jpeg_pixels(blob)
+    if blob[:4] == b"GIF8":
+        from .gifcodec import decode_gif_pixels
+
+        return decode_gif_pixels(blob)
     raise NotImplementedError(
         "pixel decode for this format requires PIL/libvips; "
         "not available in this environment"
@@ -1293,12 +1306,24 @@ def byte_histogram_features(
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Thumbnail resize. Grayscale PNG and baseline grayscale JPEG are
-    REAL (decode → nearest-neighbor resample → re-encode with the real
-    encoders); other formats need a pixel decoder absent from this
+    """Thumbnail resize. Grayscale PNG, baseline grayscale JPEG and GIF
+    are REAL (decode → nearest-neighbor resample → re-encode with the
+    real encoders); other formats need a pixel decoder absent from this
     container (same swap point as decode_image_pixels)."""
     if blob[:8] == _PNG_SIG:
         return resize_png(blob, width, height)
+    if blob[:4] == b"GIF8":
+        import numpy as np
+
+        from .gifcodec import decode_gif_pixels, encode_gif
+
+        if width <= 0 or height <= 0:
+            raise ValueError("resize dimensions must be positive")
+        px = decode_gif_pixels(blob)
+        src_h, src_w = px.shape[:2]
+        rows = (np.arange(height) * src_h) // height
+        cols = (np.arange(width) * src_w) // width
+        return encode_gif(width, height, px[rows][:, cols, 0].tobytes())
     if blob[:2] == b"\xff\xd8":
         import numpy as np
 
@@ -1347,6 +1372,7 @@ def sniff_mime(blob) -> "Column":
     return (
         F.when(hexp(8) == "89504E470D0A1A0A", F.lit("image/png"))
         .when(hexp(2) == "FFD8", F.lit("image/jpeg"))  # SOI
+        .when(hexp(4) == "47494638", F.lit("image/gif"))  # GIF8
         .when(hexp(5) == "255044462D", F.lit("application/pdf"))  # %PDF-
         .when(
             (hexp(4) == "52494646")  # RIFF

@@ -48,6 +48,9 @@ MP4_FRAMES_FIXTURE_PATH = os.path.join(
 JPEG_PX_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-jpeg-px-fixture-v1.parquet"
 )
+GIF_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-gif-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -338,6 +341,50 @@ def ensure_jpeg_px_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return JPEG_PX_FIXTURE_PATH
+
+
+def gif_dims(doc_id: int) -> tuple[int, int]:
+    """GIF pixel-fixture dimensions — a third stride so PNG/JPEG/GIF
+    blobs never agree by coincidence."""
+    return 1 + doc_id % 50, 1 + (doc_id * 5) % 40
+
+
+def ensure_gif_fixture() -> str:
+    """Create GIF_FIXTURE_PATH if missing; return the path. One REAL
+    GIF89a per doc_id (encode_gif — real LZW compression, grayscale
+    palette), pixels from the shared Knuth-hash stream. GIF is LOSSLESS,
+    so unlike JPEG no content restriction is needed: arbitrary formula
+    pixels round-trip bit-exactly and the SQL oracle recomputes stats
+    straight from the formula. Atomic."""
+    if os.path.exists(GIF_FIXTURE_PATH):
+        return GIF_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.gifcodec import encode_gif
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w, h = gif_dims(doc_id)
+        ids.append(doc_id)
+        blobs.append(encode_gif(w, h, png_payload(doc_id, w * h)))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "gif": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(GIF_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, GIF_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return GIF_FIXTURE_PATH
 
 
 def mp4_frame_params(doc_id: int) -> tuple[int, list[int], list[int]]:
