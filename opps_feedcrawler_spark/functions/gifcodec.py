@@ -162,6 +162,34 @@ def encode_gif(
     return _GIF89 + lsd + palette + gce + img_desc + body + b"\x3b"
 
 
+def encode_animated_gif(
+    width: int, height: int, frames: list[bytes], delays_cs: list[int]
+) -> bytes:
+    """Spec-valid multi-frame GIF89a: one Graphic Control Extension +
+    full-frame image (REAL LZW) per frame, plus the Netscape 2.0 looping
+    application extension animated GIFs carry in the wild (its block
+    grammar — app extension, sub-blocked payload — exercises the walker's
+    extension arm). Frame i is preceded by a GCE with ``delays_cs[i]``."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("frames and delays_cs must be equal-length, non-empty")
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("GIF dimensions must be in 1..65535")
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(
+        _GIF89 + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0]) + palette
+    )
+    # NETSCAPE2.0 loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = 8
+    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    for px, delay in zip(frames, delays_cs):
+        px = px[: width * height].ljust(width * height, b"\x00")
+        out += b"\x21\xf9" + _sub_blocks(struct.pack("<BHB", 0, delay, 0))
+        out += img_desc + bytes([min_code])
+        out += _sub_blocks(_lzw_compress(px, min_code))
+    return bytes(out + b"\x3b")
+
+
 def _walk_blocks(blob: bytes):
     """Yield (kind, payload_range_or_fields) for each block after the
     global color table; validates block grammar."""

@@ -458,6 +458,53 @@ def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -
     return df.mapInPandas(_decode, IMAGE_META_SCHEMA)
 
 
+GIF_META_SCHEMA = (
+    "url string, version string, width int, height int, "
+    "n_frames int, duration_cs long"
+)
+
+
+def gif_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -> DataFrame:
+    """mapInPandas animated-GIF accounting stage (functions/gifcodec
+    block walk): frame count = image descriptors, duration = sum of GCE
+    delays — what a crawler needs to budget animated media. Same narrow
+    no-blob-shuffle shape as image_metadata; malformed blobs quarantine
+    to version='invalid' rows (crawl corpora routinely carry truncated
+    media) rather than failing the stage."""
+    from .gifcodec import parse_gif_meta
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[bin_col]:
+                try:
+                    m = parse_gif_meta(bytes(b))
+                    rows.append(
+                        {
+                            "version": m["version"],
+                            "width": m["width"],
+                            "height": m["height"],
+                            "n_frames": m["n_frames"],
+                            "duration_cs": m["duration_cs"],
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "version": "invalid",
+                            "width": 0,
+                            "height": 0,
+                            "n_frames": 0,
+                            "duration_cs": 0,
+                        }
+                    )
+            out = pd.DataFrame(rows)
+            out.insert(0, "url", pdf[url_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, GIF_META_SCHEMA)
+
+
 AUDIO_META_SCHEMA = (
     "url string, n_bytes long, codec string, sample_rate int, "
     "n_channels int, duration_ms long"

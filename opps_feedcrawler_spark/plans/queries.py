@@ -2905,6 +2905,7 @@ def _duck_be_from_hex(hx_col: str, start: int, ndigits: int) -> str:
 
 
 from ..sources.fixtures import (
+    GIF_ANIM_FIXTURE_PATH,
     GIF_FIXTURE_PATH,
     JPEG_FIXTURE_PATH,
     JPEG_PX_FIXTURE_PATH,
@@ -3134,6 +3135,47 @@ def multimodal_gif_pixels(spark, sf_dir):
         "url", F.col("gif").alias("blob")
     )
     return image_pixel_stats(joined, "url", "blob")
+
+
+@_q(
+    "multimodal_gif_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 50 AS w,
+             1 + (doc_id * 5) % 40 AS h,
+             1 + doc_id % 4 AS f
+      FROM read_parquet('{GIF_ANIM_FIXTURE_PATH}'))
+    SELECT {_DOC_URL_SQL} AS url,
+           'GIF89a' AS version,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(f AS INT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, f),
+                i -> 3 + (doc_id + 7 * i) % 12)) AS BIGINT) AS duration_cs
+    FROM p JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_gif_meta(spark, sf_dir):
+    """Animated-GIF accounting through the engine: each fixture blob is
+    a REAL multi-frame GIF89a (one GCE + LZW-compressed frame per frame
+    plus the NETSCAPE2.0 loop extension), and gif_metadata recovers
+    frame count (image-descriptor walk) and total duration (GCE delay
+    summation) — what a crawler needs to budget animated media.
+    Non-circular check: the oracle never opens the blob — frame count
+    and every per-frame delay are pure doc_id formulas
+    (sources/fixtures.gif_anim_params), so the SQL recomputes
+    duration_cs arithmetically. Blob rule holds: mapInPandas, no blob
+    shuffle."""
+    from ..functions.multimodal import gif_metadata
+    from ..sources.fixtures import ensure_gif_anim_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    g = spark.read.parquet(ensure_gif_anim_fixture())
+    joined = g.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("gif").alias("blob")
+    )
+    return gif_metadata(joined, "url", "blob")
 
 
 @_q(
@@ -5623,6 +5665,7 @@ _FRONT_ORDER = [
     # --- 50-slot driver window ends here. Everything below is outside
     # the window this round; round 4 leads with whatever still has no
     # CORRECTNESS row, per the round-2 playbook.
+    "multimodal_gif_meta",
     "crawl_sitemap_index",
     "crawl_robots_parse",
     "dedup_exact_paragraphs",

@@ -387,6 +387,58 @@ def ensure_gif_fixture() -> str:
     return GIF_FIXTURE_PATH
 
 
+GIF_ANIM_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-gif-anim-fixture-v1.parquet"
+)
+
+
+def gif_anim_params(doc_id: int) -> tuple[int, list[int]]:
+    """Animated-GIF fixture parameters: (frame count, per-frame GCE
+    delays in centiseconds) — pure doc_id formulas so the SQL oracle can
+    recompute frame count and total duration without opening the blob."""
+    n_frames = 1 + doc_id % 4
+    return n_frames, [3 + (doc_id + 7 * i) % 12 for i in range(n_frames)]
+
+
+def ensure_gif_anim_fixture() -> str:
+    """Create GIF_ANIM_FIXTURE_PATH if missing; return the path. One
+    REAL multi-frame GIF89a per doc_id (encode_animated_gif — a GCE +
+    LZW-compressed full frame per frame, plus the NETSCAPE2.0 loop
+    extension), dims from gif_dims, frame count/delays from
+    gif_anim_params. Atomic."""
+    if os.path.exists(GIF_ANIM_FIXTURE_PATH):
+        return GIF_ANIM_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.gifcodec import encode_animated_gif
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w, h = gif_dims(doc_id)
+        n_frames, delays = gif_anim_params(doc_id)
+        frames = [png_payload(doc_id * 31 + i, w * h) for i in range(n_frames)]
+        ids.append(doc_id)
+        blobs.append(encode_animated_gif(w, h, frames, delays))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "gif": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(GIF_ANIM_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, GIF_ANIM_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return GIF_ANIM_FIXTURE_PATH
+
+
 def mp4_frame_params(doc_id: int) -> tuple[int, list[int], list[int]]:
     """Fixture sample-table parameters: (media timescale, per-sample
     durations, per-sample payload lengths) — all pure functions of doc_id

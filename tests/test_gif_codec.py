@@ -83,6 +83,42 @@ def test_decoder_on_hand_assembled_stream():
     assert lzw in enc
 
 
+def test_animated_gif_meta_and_first_frame():
+    from opps_feedcrawler_spark.functions.gifcodec import encode_animated_gif
+
+    rng = np.random.default_rng(4)
+    frames = [
+        rng.integers(0, 256, 15, dtype=np.uint8).tobytes() for _ in range(3)
+    ]
+    blob = encode_animated_gif(5, 3, frames, [10, 20, 35])
+    m = parse_gif_meta(blob)
+    assert m == {
+        "version": "GIF89a", "width": 5, "height": 3,
+        "n_frames": 3, "duration_cs": 65,
+    }
+    # first-frame pixel decode still works on multi-frame streams
+    out = decode_gif_pixels(blob)
+    assert out.reshape(-1).tobytes() == frames[0]
+    with pytest.raises(ValueError):
+        encode_animated_gif(5, 3, frames, [10, 20])  # length mismatch
+    with pytest.raises(ValueError):
+        encode_animated_gif(5, 3, [], [])
+
+
+def test_gif_metadata_stage_quarantines(spark):
+    from opps_feedcrawler_spark.functions.gifcodec import encode_animated_gif
+    from opps_feedcrawler_spark.functions.multimodal import gif_metadata
+
+    good = encode_animated_gif(4, 2, [bytes(8), bytes(8)], [5, 6])
+    df = spark.createDataFrame(
+        [("u1", bytearray(good)), ("u2", bytearray(b"GIF89a\x01"))],
+        "url string, blob binary",
+    )
+    rows = {r["url"]: r.asDict() for r in gif_metadata(df).collect()}
+    assert rows["u1"]["n_frames"] == 2 and rows["u1"]["duration_cs"] == 11
+    assert rows["u2"]["version"] == "invalid" and rows["u2"]["n_frames"] == 0
+
+
 def test_decode_image_meta_and_pixels_route_gif():
     from opps_feedcrawler_spark.functions.multimodal import (
         decode_image_meta,
