@@ -338,7 +338,10 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             break
         marker = blob[j]
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
-            i = j + 2
+            # standalone marker (TEM/RSTn/SOI): j already indexes the
+            # marker code byte, so the next scan position is j + 1
+            # (mirrors parse_jpeg_meta's indexing — ADVICE r3)
+            i = j + 1
             continue
         if marker == 0xD9:
             break

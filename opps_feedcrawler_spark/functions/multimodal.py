@@ -601,6 +601,11 @@ def decode_wav_samples(blob: bytes):
     width = (bits // 8) * chans
     usable = (len(data) // width) * width
     arr = np.frombuffer(data[:usable], dtype=dt).astype(np.int32)
+    if bits == 8:
+        # 8-bit PCM is UNSIGNED 0..255 per the WAV spec; center at 128 so
+        # both bit depths yield zero-centered amplitudes and downstream
+        # sum_abs/peak/dc reductions are amplitude-meaningful (ADVICE r3)
+        arr -= 128
     return arr.reshape(-1, chans)
 
 
@@ -1048,13 +1053,37 @@ def parse_mp4_samples(blob: bytes) -> list[dict]:
         def u32s(count, at):
             return struct.unpack(f">{count}I", blob[at : at + 4 * count])
 
+        def bounded(count, entry_bytes, table, fixed=4):
+            # a stream-supplied count must fit inside its enclosing box:
+            # a corrupted count (e.g. 0x7FFFFFFF) would otherwise drive a
+            # multi-billion-entry Python list build / parser hang
+            # (ADVICE r3). fixed = bytes of count field(s) between the
+            # version/flags word and the entries.
+            lo, hi = tables[table]
+            if count < 0 or count * entry_bytes > (hi - lo) - 4 - fixed:
+                raise ValueError(
+                    f"{table.decode()} declares {count} entries but box "
+                    f"holds {hi - lo} bytes"
+                )
+            return count
+
+        # no table can describe more samples than the file has bytes —
+        # every sample occupies file bytes; caps the uniform-stsz and
+        # stts run-expansion paths, which have no per-entry table bytes
+        max_samples = len(blob)
+
         # stts -> per-sample dts
         b0 = tables[b"stts"][0] + 4
         (n_runs,) = struct.unpack(">I", blob[b0 : b0 + 4])
+        bounded(n_runs, 8, b"stts")
         dts, t = [], 0
         pos = b0 + 4
         for _ in range(n_runs):
             cnt, delta = struct.unpack(">II", blob[pos : pos + 8])
+            if cnt > max_samples - len(dts):
+                raise ValueError(
+                    f"stts run declares {cnt} samples in a {len(blob)}-byte file"
+                )
             for _ in range(cnt):
                 dts.append(t)
                 t += delta
@@ -1063,23 +1092,31 @@ def parse_mp4_samples(blob: bytes) -> list[dict]:
         b0 = tables[b"stsz"][0] + 4
         uniform, n_samples = struct.unpack(">II", blob[b0 : b0 + 8])
         if uniform:
+            if n_samples > max_samples:
+                raise ValueError(
+                    f"stsz declares {n_samples} samples in a {len(blob)}-byte file"
+                )
             sizes = [uniform] * n_samples
         else:
+            bounded(n_samples, 4, b"stsz", fixed=8)
             sizes = list(u32s(n_samples, b0 + 8))
         # stco / co64 -> chunk offsets
         if b"stco" in tables:
             b0 = tables[b"stco"][0] + 4
             (n_chunks,) = struct.unpack(">I", blob[b0 : b0 + 4])
+            bounded(n_chunks, 4, b"stco")
             chunk_offs = list(u32s(n_chunks, b0 + 4))
         else:
             b0 = tables[b"co64"][0] + 4
             (n_chunks,) = struct.unpack(">I", blob[b0 : b0 + 4])
+            bounded(n_chunks, 8, b"co64")
             chunk_offs = list(
                 struct.unpack(f">{n_chunks}Q", blob[b0 + 4 : b0 + 4 + 8 * n_chunks])
             )
         # stsc runs -> samples-per-chunk per chunk index
         b0 = tables[b"stsc"][0] + 4
         (n_sc,) = struct.unpack(">I", blob[b0 : b0 + 4])
+        bounded(n_sc, 12, b"stsc")
         runs = [
             struct.unpack(">III", blob[b0 + 4 + 12 * i : b0 + 16 + 12 * i])
             for i in range(n_sc)
@@ -1125,7 +1162,7 @@ def video_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "blob") -
                 if len(blob) >= 12 and blob[4:8] == b"ftyp":
                     try:
                         m = parse_mp4_meta(blob)
-                    except ValueError:
+                    except (ValueError, struct.error, IndexError):
                         # truncated/mislabeled container: quarantine row,
                         # never an exception out of a crawl-scale stage
                         rows.append(
@@ -1208,7 +1245,7 @@ def sample_video_frames(
                 if len(blob) >= 12 and blob[4:8] == b"ftyp":
                     try:
                         tracks = parse_mp4_samples(blob)
-                    except ValueError:
+                    except (ValueError, struct.error, IndexError):
                         tracks = []
                 if tracks:
                     ts = tracks[0]["timescale"] or 1
@@ -1270,7 +1307,7 @@ def video_frame_stats(
                     continue
                 try:
                     tracks = parse_mp4_samples(blob)
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
                     continue
                 if not tracks:
                     continue

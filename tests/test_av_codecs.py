@@ -243,3 +243,112 @@ def test_sample_video_frames_real_mp4(spark):
     assert [r.frame_hash for r in real] == [_z.crc32(s) for s in samples]
     # stub arm unchanged for non-containers
     assert len(rows["v2"]) == 1 + len(b"not-a-video") % 5
+
+
+class TestMp4StreamSuppliedCountBounds:
+    """ADVICE r3: stream-supplied table counts must be bounded against
+    their enclosing box (a corrupted stts run count like 0x7FFFFFFF
+    previously drove a multi-billion-entry list build), and torn boxes
+    raise struct.error which the stage-level quarantine must absorb."""
+
+    @staticmethod
+    def _full(t, payload, version=0, flags=0):
+        body = bytes([version]) + flags.to_bytes(3, "big") + payload
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def _blob_with_stbl(self, stts=None, stsc=None, stsz=None, stco=None):
+        full = self._full
+        stts = stts if stts is not None else full(
+            b"stts", struct.pack(">III", 1, 3, 100))
+        stsc = stsc if stsc is not None else full(
+            b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 3, 1))
+        stsz = stsz if stsz is not None else full(
+            b"stsz", struct.pack(">II", 0, 3) + struct.pack(">III", 4, 5, 6))
+        stco = stco if stco is not None else full(
+            b"stco", struct.pack(">II", 1, 40))
+        stbl = _box(b"stbl", stts + stsc + stsz + stco)
+        mdhd = self._full(
+            b"mdhd", struct.pack(">IIII", 0, 0, 1000, 300) + struct.pack(">HH", 0, 0))
+        trak = _box(b"trak", _box(b"mdia", mdhd + _box(b"minf", stbl)))
+        mvhd = self._full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 300) + b"\x00" * 80)
+        return (
+            _box(b"ftyp", b"isom" + b"\x00" * 8)
+            + _box(b"mdat", bytes(range(100)))
+            + _box(b"moov", mvhd + trak)
+        )
+
+    def test_corrupt_counts_raise_fast_not_hang(self):
+        import time
+
+        from opps_feedcrawler_spark.functions.multimodal import (
+            parse_mp4_samples,
+        )
+
+        full = self._full
+        huge = 0x7FFFFFFF
+        corrupt = {
+            # stts run count far beyond box capacity (8 bytes/entry)
+            "stts": full(b"stts", struct.pack(">III", huge, 3, 100)),
+            # one stts run claiming more samples than the file has bytes
+            "stts2": full(b"stts", struct.pack(">III", 1, huge, 100)),
+            # uniform stsz claiming billions of samples
+            "stsz": full(b"stsz", struct.pack(">II", 4, huge)),
+            # per-sample stsz table count beyond box capacity (4 B/entry)
+            "stsz2": full(b"stsz", struct.pack(">II", 0, huge)),
+            # stco chunk count beyond box capacity
+            "stco": full(b"stco", struct.pack(">II", huge, 40)),
+            # stsc run count beyond box capacity (12 bytes/entry)
+            "stsc": full(b"stsc", struct.pack(">I", huge)
+                         + struct.pack(">III", 1, 3, 1)),
+        }
+        for name, box_bytes in corrupt.items():
+            kw = {name.rstrip("2"): box_bytes}
+            blob = self._blob_with_stbl(**kw)
+            t0 = time.monotonic()
+            with pytest.raises(ValueError):
+                parse_mp4_samples(blob)
+            assert time.monotonic() - t0 < 1.0, f"{name} parse not bounded"
+
+    def test_valid_tables_still_parse_after_bounding(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            parse_mp4_samples,
+        )
+
+        (track,) = parse_mp4_samples(self._blob_with_stbl())
+        assert [s for _, s, _ in track["samples"]] == [4, 5, 6]
+
+    def test_torn_mvhd_is_quarantined_not_raised(self, spark):
+        """A moov/mvhd shorter than its v0 field layout raises
+        struct.error from parse_mp4_meta; the video_metadata stage must
+        quarantine it as container='invalid' (one torn blob cannot fail
+        a 100 TB stage — ADVICE r3)."""
+        from opps_feedcrawler_spark.functions.multimodal import (
+            parse_mp4_meta,
+            video_metadata,
+        )
+
+        torn_mvhd = self._full(b"mvhd", struct.pack(">I", 0))  # 4-byte body
+        blob = (
+            _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(b"moov", torn_mvhd)
+        )
+        with pytest.raises((ValueError, struct.error)):
+            parse_mp4_meta(blob)
+        df = spark.createDataFrame([("u1", blob)], "url string, blob binary")
+        (row,) = video_metadata(df).collect()
+        assert row.container == "invalid" and row.n_tracks == 0
+
+    def test_corrupt_counts_quarantined_in_frame_stage(self, spark):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            sample_video_frames,
+            video_frame_stats,
+        )
+
+        huge_stts = self._full(
+            b"stts", struct.pack(">III", 0x7FFFFFFF, 3, 100))
+        blob = self._blob_with_stbl(stts=huge_stts)
+        df = spark.createDataFrame([("u1", blob)], "url string, blob binary")
+        # frame sampler falls back to the deterministic stub rows
+        rows = sample_video_frames(df).collect()
+        assert len(rows) == 1 + len(blob) % 5
+        # strict stats stage emits nothing for the quarantined blob
+        assert video_frame_stats(df).collect() == []

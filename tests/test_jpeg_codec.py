@@ -230,3 +230,21 @@ def test_resize_image_jpeg_real():
     # -> only partial blocks; tolerance bound instead of exactness
     expect = img[(np.arange(2) * 16) // 2][:, (np.arange(8) * 64) // 8]
     assert np.abs(out.astype(int) - expect.astype(int)).max() <= 16
+
+
+def test_decoder_skips_standalone_tem_marker():
+    """ADVICE r3: a standalone TEM (FF 01) between header segments is
+    legal in a conformant stream; the skip was off by one (i = j + 2
+    consumed the first byte of the next marker). Insert FF 01 after SOI
+    and decode must still succeed bit-exactly."""
+    img = np.kron(
+        np.array([[10, 250]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    blob = encode_jpeg_pixels(img, FLAT_QT)
+    assert blob[:2] == b"\xff\xd8"
+    patched = blob[:2] + b"\xff\x01" + blob[2:]
+    out = decode_jpeg_pixels(patched)
+    assert np.array_equal(out[:, :, 0], img)
+    # multiple standalone markers in a row (TEM then fill-padded TEM)
+    patched2 = blob[:2] + b"\xff\x01\xff\xff\x01" + blob[2:]
+    assert np.array_equal(decode_jpeg_pixels(patched2)[:, :, 0], img)

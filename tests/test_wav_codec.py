@@ -139,3 +139,32 @@ def test_audio_waveform_stats_spark(spark):
     assert r.sum_abs == 100 + 200 + 300 + 32768
     assert r.peak == 32768
     assert r.dc_sum == 100 - 200 + 300 - 32768
+
+
+def test_decode_wav_samples_u8_centered():
+    """ADVICE r3: 8-bit PCM is unsigned 0..255 per the WAV spec; the
+    decoder must center at 128 so amplitudes are zero-centered like the
+    int16 path (silence = 0, not 128)."""
+    import numpy as np
+
+    from opps_feedcrawler_spark.functions.multimodal import (
+        audio_waveform_stats,
+        decode_wav_samples,
+    )
+
+    raw = bytes([128, 129, 127, 255, 0, 200])
+    blob = encode_wav(8000, 1, raw, bits=8)
+    out = decode_wav_samples(blob)
+    assert out[:, 0].tolist() == [0, 1, -1, 127, -128, 72]
+
+
+def test_audio_waveform_stats_u8_silence(spark):
+    from opps_feedcrawler_spark.functions.multimodal import (
+        audio_waveform_stats,
+    )
+
+    # stage-level: u8 digital silence (all 128) must score as silence
+    silent = encode_wav(8000, 1, bytes([128] * 16), bits=8)
+    df = spark.createDataFrame([("w8", silent)], "url string, blob binary")
+    (r,) = audio_waveform_stats(df).collect()
+    assert r.n_samples == 16 and r.sum_abs == 0 and r.peak == 0 and r.dc_sum == 0
