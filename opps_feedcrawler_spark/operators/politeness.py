@@ -24,6 +24,7 @@ parallelizes. Total order everywhere: (priority DESC, url_norm ASC).
 from __future__ import annotations
 
 import os
+from typing import Callable, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -70,7 +71,9 @@ def schedule_budgeted(frontier: DataFrame, budget_col: str = "budget") -> DataFr
     )
 
 
-def with_global_sequence(scheduled: DataFrame, round_no: int) -> DataFrame:
+def with_global_sequence(
+    scheduled: DataFrame, round_no: int
+) -> Tuple[DataFrame, Callable[[], None]]:
     """Assign the round-global schedule order seq (1-based) by
     (priority DESC, url_norm) — the operational definition of "crawl
     ordering matches the reference" (SURVEY.md §4.2.2; BASELINE.json:6,14).
@@ -91,8 +94,11 @@ def with_global_sequence(scheduled: DataFrame, round_no: int) -> DataFrame:
     are therefore persisted and both phases read that ONE materialization
     (the counts stage fills the cache, the probe side reads it; a lost
     block recomputes from the already-written shuffle whose boundaries are
-    baked in). The caller owns unpersisting via the `.ofs_unpersist`
-    attribute on the result (crawl_round wires it into the round cleanup)."""
+    baked in). Returns ``(sequenced_df, unpersist)``: the caller owns the
+    cached ranged rows and releases them via the returned callable once the
+    round's sinks have consumed the schedule (crawl_round wires it into the
+    round cleanup). Explicit pair instead of an ad-hoc attribute on the
+    DataFrame, which was invisible to callers (VERDICT r3 #6)."""
     from pyspark.storagelevel import StorageLevel
 
     order = [F.col("priority").desc(), F.col("url_norm").asc()]
@@ -132,5 +138,4 @@ def with_global_sequence(scheduled: DataFrame, round_no: int) -> DataFrame:
         .withColumn("round", F.lit(round_no))
         .drop("_pid", "_lseq", "_mid", "_off")
     )
-    out.ofs_unpersist = lambda: local.unpersist()
-    return out
+    return out, lambda: local.unpersist()

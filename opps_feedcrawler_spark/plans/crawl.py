@@ -227,7 +227,7 @@ def crawl_round(
         .drop("budget", "allowed", "crawl_delay")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sequenced = with_global_sequence(scheduled, round_no)
+    sequenced, sequenced_unpersist = with_global_sequence(scheduled, round_no)
     schedule = sequenced.select(
         "round", "seq", "url_norm", "host", "priority", "depth"
     )
@@ -397,7 +397,7 @@ def crawl_round(
 
     def cleanup() -> None:
         scheduled.unpersist()
-        sequenced.ofs_unpersist()
+        sequenced_unpersist()
         enriched.unpersist()
         seen_delta.unpersist()
         new_bloom.unpersist()

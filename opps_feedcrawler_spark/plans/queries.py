@@ -5259,14 +5259,20 @@ def dedup_cluster_canonical(spark, sf_dir):
     partial); canon is one window over components (skew-free: near-dup
     clusters are small by construction — a giant component would mean
     the threshold is wrong, which the cluster-size histogram exposes).
-    Each iteration's labels are persisted AND eagerly materialized
-    before the next — ``labels`` appears twice in iteration i+1 (probe
-    side and incoming side), so a lazy loop doubles the unevaluated
-    subtree per iteration: 2^k copies of the pair-generation plan by
-    iteration k. Lineage truncation here is what makes the iterative
-    operator viable at ANY scale (same discipline as pagerank_mass_3iter
-    / connected_components_3iter); intermediates are unpersisted as soon
-    as their successor is materialized."""
+    Lineage is truncated by materializing every SECOND iteration —
+    ``labels`` appears twice in iteration i+1 (probe side and incoming
+    side), so a fully lazy loop doubles the unevaluated subtree per
+    iteration: 2^k copies of the pair-generation plan by iteration k.
+    But with the edge table persisted+materialized first, ONE lazy hop
+    is safe and cheap: the doubled subtree is a single join+agg over a
+    cached leaf, not the pair-generation plan. Three per-iteration
+    count() barriers (the round-3 shape) cost ~10 s of fixed job-launch
+    latency at toy scale (VERDICT r3 #5); this shape pays exactly two
+    barriers (edges, labels after iteration 2) and folds iteration 3 +
+    canon selection into the caller's single action. Same discipline as
+    pagerank_mass_3iter / connected_components_3iter, with the
+    materialization cadence A/B'd per the recorded
+    lazy-vs-materialized trade for cheap-state iterative loops."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     pairs = dedup.jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
     edges = (
@@ -5277,30 +5283,28 @@ def dedup_cluster_canonical(spark, sf_dir):
         .repartition("src")
         .persist()
     )
+    edges.count()  # barrier 1: pair generation runs exactly once
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(3):
+    for i in range(3):
         incoming = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr"))
         )
-        new_labels = (
-            labels.join(incoming, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr", "label")).alias(
-                    "label"
-                ),
-            )
-            .persist()
+        labels = labels.join(incoming, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
         )
-        new_labels.count()  # materialize: truncate lineage for the next pass
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
-    edges.unpersist()  # final labels are materialized; edges done
+        if i == 1:  # barrier 2: truncate before the subtree doubles again
+            labels = labels.persist()
+            labels.count()
+    # final labels stay lazy-persisted: the caller's one action computes
+    # iteration 3 over the cached iteration-2 labels and cached edges
+    # (labels appears twice in the canon tail; the persist makes the
+    # second occurrence read blocks instead of recomputing the join).
+    labels = labels.persist()
     stats = labels.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )

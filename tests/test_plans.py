@@ -175,7 +175,7 @@ def test_global_sequence_no_single_task_data_sort(spark):
     df = spark.createDataFrame(
         rows, "url_norm string, host string, priority double, depth int"
     )
-    out = with_global_sequence(df, 0)
+    out, unpersist = with_global_sequence(df, 0)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # the schedule rows flow through a RangePartitioning repartition...
     assert "REPARTITION_BY_NUM" in plan or "RepartitionByExpression" in plan
@@ -185,7 +185,7 @@ def test_global_sequence_no_single_task_data_sort(spark):
     assert "sum(_n#" in plan  # the offsets prefix-sum window exists
     # no row_number window over the full schedule without partition keys:
     assert not re.search(r"Window \[row_number\(\)[^\n]*\]\s*$", plan, re.M)
-    out.ofs_unpersist()
+    unpersist()
 
 
 def test_bucketed_fetch_join_no_blob_exchange(spark, tmp_path):
