@@ -19,8 +19,10 @@ byte format directly.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from datetime import datetime, timezone
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -127,17 +129,95 @@ def _parse_warc_offsets(archive: bytes | None) -> list[dict]:
     return out
 
 
-def to_warc(records: DataFrame) -> DataFrame:
-    """(url, warc_date, payload) -> (archive binary, n_records): one
-    archive blob per non-empty Arrow batch, built in place (no shuffle)."""
+# ---------------------------------------------------------------------------
+# Gzip WARC (.warc.gz) — the actual Common-Crawl wire format: each WARC
+# record is its OWN gzip member (RFC 1952 allows member concatenation;
+# ISO 28500 Annex + the Common Crawl docs standardize record-per-member so
+# replay tools can fetch ONE record with an HTTP range request and inflate
+# it standalone). A .warc.gz is therefore NOT one gzip stream over the
+# archive — it is len(records) back-to-back members, and the CDX index
+# stores each member's compressed (offset, length).
+# ---------------------------------------------------------------------------
 
+_GZ_MAGIC = b"\x1f\x8b"
+# Fixed RFC 1952 header: magic, CM=8 (deflate), FLG=0 (no name/extra/
+# comment), MTIME=0, XFL=0, OS=255 (unknown) — every field pinned so the
+# member bytes are a pure function of the payload (resume/replay and the
+# cross-parallelism determinism contract need byte-stable shard files).
+_GZ_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member: fixed header, raw-DEFLATE body
+    (level 9), CRC32 + ISIZE trailer. stdlib-zlib only."""
+    co = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = co.compress(data) + co.flush()
+    trailer = struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+    )
+    return _GZ_HEADER + body + trailer
+
+
+def build_warc_gz_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
+    """Serialize record triples into a .warc.gz blob: one gzip member per
+    record, each inflating to exactly that record's plain-WARC bytes."""
+    out = bytearray()
+    for rec in records:
+        out += _gzip_member(build_warc_py([rec]))
+    return bytes(out)
+
+
+def _gz_member_offsets(
+    blob: bytes | None,
+) -> list[tuple[int, int, bytes]]:
+    """Walk the gzip members of a .warc.gz blob: (offset, compressed
+    length, inflated bytes) per member. Boundaries come from the gzip
+    FRAMING itself (zlib wbits=31 consumes exactly one member; its
+    ``unused_data`` marks where the next begins) — never from
+    writer-recorded lengths, so indexing any conformant .warc.gz works.
+    A torn tail member (truncated mid-stream or failing its CRC32/ISIZE
+    trailer check, which wbits=31 verifies at eof) ends the walk; the
+    prefix is still returned, matching the plain-WARC salvage behavior.
+    Members inflate whole here; shard files are size-bounded by
+    construction (to_warc_gz_sharded's skew rule), so the working set is
+    one record, not one archive."""
+    if not blob:
+        return []
+    buf = bytes(blob)
+    pos, n = 0, len(buf)
+    out: list[tuple[int, int, bytes]] = []
+    while pos < n:
+        if buf[pos : pos + 2] != _GZ_MAGIC:
+            break
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        try:
+            inflated = d.decompress(buf[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated tail member
+        mlen = (n - pos) - len(d.unused_data)
+        out.append((pos, mlen, inflated))
+        pos += mlen
+    return out
+
+
+def parse_warc_gz_py(blob: bytes | None) -> list[dict]:
+    """Parse a .warc.gz blob into record dicts — the member walk feeding
+    each inflated member through the plain length-driven record parser
+    (a member may legally hold >1 record; ours writes exactly one)."""
+    out: list[dict] = []
+    for _off, _mlen, inflated in _gz_member_offsets(blob):
+        out.extend(parse_warc_py(inflated))
+    return out
+
+
+def _to_archive(records: DataFrame, builder: Callable) -> DataFrame:
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b) == 0:
                 continue
-            blob = build_warc_py(
-                zip(b["url"], b["warc_date"], b["payload"])
-            )
+            blob = builder(zip(b["url"], b["warc_date"], b["payload"]))
             yield pd.DataFrame({"archive": [blob], "n_records": [len(b)]})
 
     return records.select("url", "warc_date", "payload").mapInPandas(
@@ -145,19 +225,41 @@ def to_warc(records: DataFrame) -> DataFrame:
     )
 
 
-def read_warc(archives: DataFrame) -> DataFrame:
-    """(archive binary) -> one row per WARC record — the inverse of
-    to_warc; archives stay where they are (narrow map, no shuffle)."""
-
+def _read_archive(archives: DataFrame, parser: Callable) -> DataFrame:
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows: list[dict] = []
             for blob in b["archive"]:
-                rows.extend(parse_warc_py(blob))
+                rows.extend(parser(blob))
             if rows:
                 yield pd.DataFrame(rows)
 
     return archives.select("archive").mapInPandas(unpack, RECORD_SCHEMA)
+
+
+def to_warc(records: DataFrame) -> DataFrame:
+    """(url, warc_date, payload) -> (archive binary, n_records): one
+    archive blob per non-empty Arrow batch, built in place (no shuffle)."""
+    return _to_archive(records, build_warc_py)
+
+
+def read_warc(archives: DataFrame) -> DataFrame:
+    """(archive binary) -> one row per WARC record — the inverse of
+    to_warc; archives stay where they are (narrow map, no shuffle)."""
+    return _read_archive(archives, parse_warc_py)
+
+
+def to_warc_gz(records: DataFrame) -> DataFrame:
+    """(url, warc_date, payload) -> (.warc.gz binary, n_records): the
+    gzip twin of to_warc — one record-per-member archive per Arrow batch,
+    built where the records live (no shuffle)."""
+    return _to_archive(records, build_warc_gz_py)
+
+
+def read_warc_gz(archives: DataFrame) -> DataFrame:
+    """(.warc.gz binary) -> one row per WARC record — the reader a user
+    points at actual Common-Crawl shard bytes (narrow map, no shuffle)."""
+    return _read_archive(archives, parse_warc_gz_py)
 
 
 SHARD_SCHEMA = "shard bigint, archive binary, n_records bigint"
@@ -181,9 +283,27 @@ def to_warc_sharded(
     construction (e.g. doc_id // N); a giant shard would serialize on
     one task, exactly like any groupBy hot key."""
 
+    return _to_sharded(records, build_warc_py, shard_col, sort_col)
+
+
+def to_warc_gz_sharded(
+    records: DataFrame, shard_col: str = "shard", sort_col: str = "url"
+) -> DataFrame:
+    """The .warc.gz twin of to_warc_sharded: one record-per-member gzip
+    archive per shard key, records serialized in ``sort_col`` order. Same
+    one-shuffle / deterministic-composition / size-bounded-shard-key
+    contract; the member framing additionally makes every record
+    independently range-fetchable, which is why Common Crawl ships this
+    exact layout."""
+    return _to_sharded(records, build_warc_gz_py, shard_col, sort_col)
+
+
+def _to_sharded(
+    records: DataFrame, builder: Callable, shard_col: str, sort_col: str
+) -> DataFrame:
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_col, kind="mergesort")
-        blob = build_warc_py(zip(pdf["url"], pdf["warc_date"], pdf["payload"]))
+        blob = builder(zip(pdf["url"], pdf["warc_date"], pdf["payload"]))
         return pd.DataFrame(
             {
                 "shard": [pdf[shard_col].iloc[0]],
@@ -232,3 +352,70 @@ def cdx_index(archives: DataFrame) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return archives.select("shard", "archive").mapInPandas(index, CDX_SCHEMA)
+
+
+CDX_GZ_SCHEMA = (
+    "shard bigint, url string, cdx_ts string, offset bigint, "
+    "record_length bigint, inflated_length bigint, content_length bigint, "
+    "digest string, member_demarcated boolean"
+)
+
+
+def cdx_index_gz(archives: DataFrame) -> DataFrame:
+    """(shard, .warc.gz archive) -> one CDX row per gzip member: (url,
+    cdx_ts, COMPRESSED byte offset, COMPRESSED member length, inflated
+    record length, declared Content-Length, sha256 payload digest,
+    member_demarcated). This is the index shape real replay needs over
+    .warc.gz shards — offset/length address the gzip member, so a reader
+    range-fetches exactly those bytes and inflates one record standalone.
+
+    Offsets come from the member framing walk (_gz_member_offsets), never
+    from writer bookkeeping. ``member_demarcated`` is the in-row proof the
+    (offset, length) pair is exact: the indexer RE-SLICES the blob at
+    [offset, offset+length) and one-shot-inflates the slice with an
+    independent zlib call — a boundary off by even one byte fails the
+    slice's CRC32/ISIZE trailer check (or leaves trailing garbage) and the
+    flag goes false. Narrow mapInPandas; archives indexed where they live."""
+    import hashlib
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[dict] = []
+            for shard, blob in zip(b["shard"], b["archive"]):
+                buf = bytes(blob) if blob is not None else b""
+                for off, mlen, inflated in _gz_member_offsets(buf):
+                    try:
+                        again = zlib.decompressobj(zlib.MAX_WBITS | 16)
+                        sliced = again.decompress(buf[off : off + mlen])
+                        demarc = (
+                            again.eof
+                            and not again.unused_data
+                            and sliced == inflated
+                        )
+                    except zlib.error:
+                        demarc = False
+                    for r in parse_warc_py(inflated):
+                        ts = r["warc_date"]
+                        rows.append(
+                            {
+                                "shard": shard,
+                                "url": r["url"],
+                                "cdx_ts": (
+                                    ts.strftime("%Y%m%d%H%M%S") if ts else None
+                                ),
+                                "offset": off,
+                                "record_length": mlen,
+                                "inflated_length": len(inflated),
+                                "content_length": r["content_length"],
+                                "digest": hashlib.sha256(
+                                    r["payload"]
+                                ).hexdigest(),
+                                "member_demarcated": demarc,
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return archives.select("shard", "archive").mapInPandas(
+        index, CDX_GZ_SCHEMA
+    )

@@ -1,0 +1,171 @@
+"""Gzip WARC (.warc.gz) — the actual Common-Crawl wire format (VERDICT r3
+#4): record-per-gzip-member framing, member-boundary scan, CDX over
+compressed offsets, interop with the plain-WARC parser on the inflated
+stream, torn-tail salvage."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from datetime import datetime
+
+from opps_feedcrawler_spark.sources.warc import (
+    _GZ_HEADER,
+    _gz_member_offsets,
+    build_warc_gz_py,
+    build_warc_py,
+    cdx_index_gz,
+    parse_warc_gz_py,
+    parse_warc_py,
+    read_warc_gz,
+    to_warc_gz,
+    to_warc_gz_sharded,
+)
+
+RECS = [
+    ("http://a.example/1", datetime(2024, 3, 1, 0, 0, 5), b"hello"),
+    # payload containing both the WARC record terminator AND the gzip
+    # magic MUST roundtrip (length-driven parse, framing-driven members)
+    ("http://a.example/2", datetime(2024, 3, 1, 0, 1, 0), b"x\r\n\r\n\x1f\x8by"),
+    ("http://a.example/3", datetime(2024, 3, 1, 0, 2, 0), b""),
+]
+
+
+def test_gz_member_golden_and_deterministic():
+    blob = build_warc_gz_py(RECS[:1])
+    # fixed RFC 1952 header: CM=8, FLG=0, MTIME=0, XFL=0, OS=255
+    assert blob[:10] == _GZ_HEADER == bytes.fromhex("1f8b08000000000000ff")
+    # the single member inflates to exactly the plain-WARC record bytes
+    assert gzip.decompress(blob) == build_warc_py(RECS[:1])
+    # byte-stable across builds (shard files must be reproducible)
+    assert build_warc_gz_py(RECS) == build_warc_gz_py(RECS)
+
+
+def test_gz_roundtrip_tricky_payloads():
+    back = parse_warc_gz_py(build_warc_gz_py(RECS))
+    assert [(r["url"], r["warc_date"], r["payload"]) for r in back] == [
+        (u, t, p) for u, t, p in RECS
+    ]
+    assert [r["content_length"] for r in back] == [5, 8, 0]
+
+
+def test_gz_member_boundaries_contiguous_and_self_contained():
+    blob = build_warc_gz_py(RECS)
+    members = _gz_member_offsets(blob)
+    assert len(members) == 3
+    pos = 0
+    for off, mlen, inflated in members:
+        assert off == pos  # members are back-to-back
+        # the compressed slice is a complete standalone gzip stream:
+        # range-fetching exactly [off, off+mlen) yields one record
+        assert gzip.decompress(blob[off : off + mlen]) == inflated
+        recs = parse_warc_py(inflated)
+        assert len(recs) == 1
+        pos = off + mlen
+    assert pos == len(blob)  # no slack bytes between or after members
+
+
+def test_gz_interop_whole_stream_inflate_matches():
+    """Inflating the whole multi-member stream with stdlib gzip and
+    feeding it to the PLAIN parser must yield the same records as the
+    member-aware reader (the interop check VERDICT r3 #4 asked for)."""
+    blob = build_warc_gz_py(RECS)
+    via_plain = parse_warc_py(gzip.decompress(blob))
+    via_gz = parse_warc_gz_py(blob)
+    key = lambda r: (r["url"], r["warc_date"], r["content_length"], r["payload"])  # noqa: E731
+    assert [key(r) for r in via_plain] == [key(r) for r in via_gz]
+
+
+def test_gz_torn_tail_and_garbage_salvage():
+    blob = build_warc_gz_py(RECS)
+    members = _gz_member_offsets(blob)
+    # truncated mid-final-member: the first two records still parse
+    torn = blob[: members[2][0] + members[2][1] - 3]
+    assert [r["url"] for r in parse_warc_gz_py(torn)] == [
+        RECS[0][0],
+        RECS[1][0],
+    ]
+    # corrupt the final member's CRC32 trailer: that member is dropped
+    bad = bytearray(blob)
+    bad[-5] ^= 0xFF
+    assert [r["url"] for r in parse_warc_gz_py(bytes(bad))] == [
+        RECS[0][0],
+        RECS[1][0],
+    ]
+    assert parse_warc_gz_py(b"") == []
+    assert parse_warc_gz_py(None) == []
+    assert parse_warc_gz_py(b"not gzip at all") == []
+
+
+def test_gz_spark_roundtrip(spark):
+    df = spark.createDataFrame(
+        RECS, "url string, warc_date timestamp, payload binary"
+    )
+    back = read_warc_gz(to_warc_gz(df)).collect()
+    got = sorted((r.url, r.warc_date, bytes(r.payload)) for r in back)
+    assert got == sorted((u, t, p) for u, t, p in RECS)
+
+
+def test_gz_sharded_cdx_offsets_exact(spark):
+    """cdx_index_gz over to_warc_gz_sharded: url-ordered shard
+    composition; every (offset, record_length) pair range-fetches a
+    standalone gzip member holding exactly its url's record; offsets are
+    contiguous and cover the blob; digests are true sha256; the inflated
+    length obeys the plain-WARC grammar arithmetic."""
+    rows = [
+        (
+            i // 3,
+            f"http://h/{chr(122 - i)}",
+            datetime(2024, 3, 1),
+            bytes([i]) * (5 + i),
+        )
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "shard long, url string, warc_date timestamp, payload binary"
+    )
+    arch = {r.shard: bytes(r.archive) for r in to_warc_gz_sharded(df).collect()}
+    cdx = sorted(
+        cdx_index_gz(to_warc_gz_sharded(df)).collect(),
+        key=lambda r: (r.shard, r.offset),
+    )
+    assert len(cdx) == 7
+    by_payload = {u: p for _, u, _, p in rows}
+    pos = {s: 0 for s in arch}
+    for r in cdx:
+        blob = arch[r.shard]
+        assert r.member_demarcated
+        assert r.offset == pos[r.shard]  # contiguous members, url order
+        member = blob[r.offset : r.offset + r.record_length]
+        recs = parse_warc_py(gzip.decompress(member))
+        assert [x["url"] for x in recs] == [r.url]
+        assert r.inflated_length == 107 + len(r.url) + len(
+            str(len(by_payload[r.url]))
+        ) + len(by_payload[r.url])
+        assert r.content_length == len(by_payload[r.url])
+        assert r.digest == hashlib.sha256(by_payload[r.url]).hexdigest()
+        assert r.cdx_ts == "20240301000000"
+        pos[r.shard] += r.record_length
+    for s, blob in arch.items():
+        assert pos[s] == len(blob)
+        urls = [r.url for r in cdx if r.shard == s]
+        assert urls == sorted(urls)
+
+
+def test_gz_flg_name_header_tolerated():
+    """A conformant .warc.gz written by another tool may set FNAME/FEXTRA
+    flag bits — the wbits=31 walk parses those, so the reader is not
+    limited to our fixed-header writer."""
+    rec = build_warc_py(RECS[:1])
+    co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = co.compress(rec) + co.flush()
+    fname_member = (
+        b"\x1f\x8b\x08\x08\x00\x00\x00\x00\x00\x03"  # FLG=FNAME, OS=unix
+        + b"shard-00000.warc\x00"
+        + body
+        + zlib.crc32(rec).to_bytes(4, "little")
+        + (len(rec) & 0xFFFFFFFF).to_bytes(4, "little")
+    )
+    blob = fname_member + build_warc_gz_py(RECS[1:])
+    assert [r["url"] for r in parse_warc_gz_py(blob)] == [u for u, _, _ in RECS]
