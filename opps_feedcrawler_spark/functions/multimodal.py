@@ -107,6 +107,79 @@ def encode_png(width: int, height: int, payload: bytes) -> bytes:
     )
 
 
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes, bit_depth: int = 8
+) -> bytes:
+    """REAL paletted PNG encoder (stdlib+numpy only): color type 3 with a
+    PLTE chunk (flat RGB triples) and per-scanline MSB-first bit-packed
+    indices at bit depth 1/2/4/8 (packing never crosses rows, RFC 2083
+    §2.3). ``indices`` supplies one palette index per pixel row-major
+    (short input zero-padded); filter byte 0 per scanline. Spec-valid and
+    CRC'd like encode_png."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dimensions must be positive")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("palette bit depth must be 1/2/4/8")
+    if len(palette) % 3 or not palette:
+        raise ValueError("palette must be non-empty flat RGB triples")
+    idx = np.frombuffer(
+        indices[: width * height].ljust(width * height, b"\x00"), dtype=np.uint8
+    ).reshape(height, width)
+    if int(idx.max(initial=0)) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+    if bit_depth == 8:
+        lines = [idx[r].tobytes() for r in range(height)]
+    else:
+        per = 8 // bit_depth
+        bits = (
+            np.unpackbits(idx.reshape(height, width, 1), axis=2)[
+                :, :, 8 - bit_depth :
+            ]
+        ).reshape(height, width * bit_depth)
+        lines = [np.packbits(bits[r]).tobytes() for r in range(height)]
+        assert all(len(ln) == (width + per - 1) // per for ln in lines)
+    raw = b"".join(b"\x00" + ln for ln in lines)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(width: int, height: int, payload: bytes) -> bytes:
+    """REAL Adam7-interlaced grayscale-8 PNG encoder (stdlib+numpy only):
+    the image is split into the seven RFC 2083 §2.6 passes (each pass a
+    standalone filtered sub-image, empty passes omitted), concatenated,
+    and deflated into one IDAT; IHDR declares interlace method 1.
+    Decoding must reassemble exactly the row-major ``payload`` image —
+    the lossless-subspace property the formula oracle checks."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dimensions must be positive")
+    img = np.frombuffer(
+        payload[: width * height].ljust(width * height, b"\x00"), dtype=np.uint8
+    ).reshape(height, width)
+    raw = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        sub = img[y0::ys, x0::xs]
+        for r in range(sub.shape[0]):
+            if sub.shape[1] > 0:
+                raw += b"\x00" + sub[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def parse_png_meta(blob: bytes) -> dict:
     """REAL PNG structural parser (stdlib only): validates the 8-byte
     signature, requires IHDR as the first chunk (per spec), extracts
@@ -293,42 +366,33 @@ def decode_image_meta(blob: bytes) -> dict:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
 
+#: Adam7 pass origins/strides (RFC 2083 §2.6): (xstart, ystart, xstep, ystep)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def decode_png_pixels(blob: bytes):
-    """REAL PNG pixel decode (stdlib+numpy only): walks chunks collecting
-    IDAT, zlib-inflates the filtered stream, and applies the full RFC
-    2083 §6 unfilter set (None/Sub/Up/Average/Paeth, byte-exact integer
-    arithmetic) for any 8-bit grayscale/RGB/gray+alpha/RGBA image.
-    Returns (height, width, channels) uint8 ndarray. Interlaced or
-    sub-byte-depth PNGs raise NotImplementedError (declared — the
-    fixture and crawl corpora never emit them); malformed input raises
-    ValueError."""
+
+def _png_unfilter(raw: bytes, pos: int, hgt: int, stride: int, fdist: int):
+    """Unfilter ``hgt`` scanlines of ``stride`` bytes starting at
+    raw[pos] — the full RFC 2083 §6 set (None/Sub/Up/Average/Paeth,
+    byte-exact integer arithmetic). ``fdist`` is the filter's left-pixel
+    byte distance (bytes-per-pixel, min 1 for sub-byte depths). Returns
+    ((hgt, stride) uint8 ndarray, position after the region)."""
     import numpy as np
 
-    meta = parse_png_meta(blob)
-    if meta["bit_depth"] != 8:
-        raise NotImplementedError("only 8-bit PNGs supported")
-    ch = _PNG_CHANNELS.get(meta["color_type"])
-    if ch is None:
-        raise NotImplementedError("palette PNGs not supported")
-    w, hgt = meta["width"], meta["height"]
-    pos, idat = 8, b""
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        ctype = blob[pos + 4 : pos + 8]
-        if ctype == b"IDAT":
-            idat += blob[pos + 8 : pos + 8 + length]
-        if ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) != hgt * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch (interlaced?)")
+    end = pos + hgt * (1 + stride)
+    if end > len(raw):
+        raise ValueError("PNG pixel data length mismatch")
     out = np.empty((hgt, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(hgt):
-        line = raw[r * (1 + stride) : (r + 1) * (1 + stride)]
+        line = raw[pos + r * (1 + stride) : pos + (r + 1) * (1 + stride)]
         filt, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
         if filt == 0:
             cur = data
@@ -339,14 +403,14 @@ def decode_png_pixels(blob: bytes):
             ints = cur.astype(np.int32)
             pints = prev.astype(np.int32)
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
+                a = int(cur[i - fdist]) if i >= fdist else 0
                 b = int(pints[i]) if filt != 1 else 0
                 if filt == 1:
                     cur[i] = (ints[i] + a) & 0xFF
                 elif filt == 3:
                     cur[i] = (ints[i] + (a + b) // 2) & 0xFF
                 else:  # Paeth
-                    c = int(prev[i - ch]) if i >= ch else 0
+                    c = int(prev[i - fdist]) if i >= fdist else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -356,7 +420,99 @@ def decode_png_pixels(blob: bytes):
             raise ValueError(f"unknown PNG filter {filt}")
         out[r] = cur
         prev = out[r]
-    return out.reshape(hgt, w, ch)
+    return out, end
+
+
+def _png_unpack_samples(arr, w: int, samples: int, bit_depth: int):
+    """(h, stride) filtered-out bytes -> (h, w, samples) sample values.
+    Sub-byte depths unpack MSB-first per scanline (packing never crosses
+    rows, RFC 2083 §2.3); values are raw sample codes, not yet scaled."""
+    import numpy as np
+
+    h = arr.shape[0]
+    if bit_depth == 8:
+        return arr[:, : w * samples].reshape(h, w, samples)
+    bits = np.unpackbits(arr, axis=1)[:, : w * samples * bit_depth]
+    weights = 1 << np.arange(bit_depth - 1, -1, -1, dtype=np.uint16)
+    vals = (
+        bits.reshape(h, w * samples, bit_depth).astype(np.uint16) * weights
+    ).sum(axis=2)
+    return vals.astype(np.uint8).reshape(h, w, samples)
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL PNG pixel decode (stdlib+numpy only): walks chunks collecting
+    IDAT (plus PLTE for paletted images), zlib-inflates the filtered
+    stream, and unfilters with the full RFC 2083 §6 set. Coverage:
+    grayscale at bit depth 1/2/4/8 (sub-byte samples scaled to 8-bit by
+    the exact 255/(2^d-1) integer factor), 8-bit RGB/gray+alpha/RGBA,
+    and paletted (color type 3) at bit depth 1/2/4/8 resolved through
+    PLTE to RGB — both progressive (Adam7, RFC 2083 §2.6: seven
+    independently-filtered sub-images scattered back by pass origin and
+    stride) and non-interlaced. Returns (height, width, channels) uint8
+    ndarray. 16-bit depth raises NotImplementedError (declared);
+    malformed input raises ValueError."""
+    import numpy as np
+
+    meta = parse_png_meta(blob)
+    bit_depth, color_type = meta["bit_depth"], meta["color_type"]
+    if bit_depth == 16:
+        raise NotImplementedError("16-bit PNGs not supported")
+    if color_type in (2, 4, 6) and bit_depth != 8:
+        raise ValueError("invalid bit depth for PNG color type")
+    interlace = blob[28]  # IHDR data byte 12 (16 + 12)
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    w, hgt = meta["width"], meta["height"]
+    pos, idat, plte = 8, b"", None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        elif ctype == b"PLTE":
+            plte = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    raw = zlib.decompress(idat)
+    samples = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    bits_pp = samples * bit_depth
+    fdist = max(1, bits_pp // 8)
+
+    def region(p: int, rw: int, rh: int):
+        stride = (rw * bits_pp + 7) // 8
+        arr, p = _png_unfilter(raw, p, rh, stride, fdist)
+        return _png_unpack_samples(arr, rw, samples, bit_depth), p
+
+    if interlace == 0:
+        mat, p = region(0, w, hgt)
+    else:
+        mat = np.zeros((hgt, w, samples), dtype=np.uint8)
+        p = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (hgt - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = region(p, pw, ph)
+            mat[y0::ys, x0::xs] = sub
+    if p != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = mat[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    if color_type == 0 and bit_depth < 8:
+        return (mat.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))).astype(
+            np.uint8
+        )
+    return mat
 
 
 def decode_image_pixels(blob: bytes):

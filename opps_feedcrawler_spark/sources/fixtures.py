@@ -51,6 +51,9 @@ JPEG_PX_FIXTURE_PATH = os.path.join(
 GIF_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-gif-fixture-v1.parquet"
 )
+PNG_PALETTE_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-png-palette-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -507,6 +510,84 @@ def ensure_mp4_frames_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return MP4_FRAMES_FIXTURE_PATH
+
+
+def png_palette_rgb(n_colors: int) -> bytes:
+    """Fixture palette: flat RGB triples from a fixed integer formula —
+    entry j is ((j*3)%256, (j*5+1)%256, (j*7+2)%256). Shared verbatim
+    with the DuckDB oracle so the palette lookup itself is checked."""
+    return bytes(
+        b
+        for j in range(n_colors)
+        for b in ((j * 3) % 256, (j * 5 + 1) % 256, (j * 7 + 2) % 256)
+    )
+
+
+def png_palette_indices(doc_id: int, n: int, n_colors: int) -> bytes:
+    """Fixture palette-index stream: the png_payload Knuth-hash formula
+    reduced mod the palette size."""
+    idx = np.arange(n, dtype=np.uint64)
+    return (
+        (
+            (np.uint64(doc_id) * np.uint64(2654435761) + idx * np.uint64(40503))
+            % np.uint64(n_colors)
+        )
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def ensure_png_palette_fixture() -> str:
+    """Create PNG_PALETTE_FIXTURE_PATH if missing; return the path.
+    Three arms by doc_id % 3, covering the two real-crawl PNG shapes the
+    v1 fixture lacked (VERDICT r3 #7): (0) 256-color 8-bit paletted,
+    (1) 16-color 4-bit paletted (sub-byte scanline packing), (2) Adam7
+    progressive grayscale. All stay in the lossless subspace, so the
+    oracle recomputes every pixel from the generative formula."""
+    if os.path.exists(PNG_PALETTE_FIXTURE_PATH):
+        return PNG_PALETTE_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import (
+        encode_png_adam7,
+        encode_png_palette,
+    )
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w, h = png_dims(doc_id)
+        arm = doc_id % 3
+        if arm == 2:
+            blob = encode_png_adam7(w, h, png_payload(doc_id, w * h))
+        else:
+            n_colors = 16 if arm == 1 else 256
+            blob = encode_png_palette(
+                w,
+                h,
+                png_palette_indices(doc_id, w * h, n_colors),
+                png_palette_rgb(n_colors),
+                bit_depth=4 if arm == 1 else 8,
+            )
+        ids.append(doc_id)
+        blobs.append(blob)
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "png": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(PNG_PALETTE_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, PNG_PALETTE_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return PNG_PALETTE_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:

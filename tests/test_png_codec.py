@@ -254,8 +254,10 @@ def test_decode_rejects_unsupported():
             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
             + chunk(b"IEND", b"")
         )
-    with pytest.raises(NotImplementedError):  # palette
-        decode_png_pixels(_wrap_png(1, 1, 3, b""))
+    # paletted images are SUPPORTED now (round 4) — but one lacking its
+    # mandatory PLTE chunk is malformed, not unsupported
+    with pytest.raises(ValueError):
+        decode_png_pixels(_wrap_png(1, 1, 3, b"\x00\x05"))
 
 
 def test_resize_png_nearest_neighbor():
@@ -286,3 +288,152 @@ def test_image_pixel_stats_spark(spark):
         for r in image_pixel_stats(df).collect()
     }
     assert got == truths
+
+
+# ---------------------------------------------------------------------------
+# Round 4: paletted + Adam7 progressive (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+from opps_feedcrawler_spark.functions.multimodal import (  # noqa: E402
+    encode_png_adam7,
+    encode_png_palette,
+)
+
+
+def _chunk(t: bytes, d: bytes) -> bytes:
+    return struct.pack(">I", len(d)) + t + d + struct.pack(
+        ">I", zlib.crc32(t + d)
+    )
+
+
+def test_adam7_hand_built_golden_bytes():
+    """Hand-assembled Adam7 pass stream for a 4x4 grayscale image whose
+    pixel at (row r, col c) is 16*r + c — every pass's membership and
+    ordering written out from RFC 2083 §2.6 by hand, NOT via the
+    encoder."""
+    # pass 1 (0,0,8,8): (0,0)            -> 0x00
+    # pass 2 (4,0,8,8): empty (x0 >= w)
+    # pass 3 (0,4,4,8): empty (y0 >= h)
+    # pass 4 (2,0,4,4): (0,2)            -> 0x02
+    # pass 5 (0,2,2,4): (2,0) (2,2)      -> 0x20 0x22
+    # pass 6 (1,0,2,2): (0,1) (0,3) / (2,1) (2,3) -> two scanlines
+    # pass 7 (0,1,1,2): rows 1 and 3 in full
+    raw = (
+        b"\x00\x00"                      # pass 1
+        b"\x00\x02"                      # pass 4
+        b"\x00\x20\x22"                  # pass 5
+        b"\x00\x01\x03" b"\x00\x21\x23"  # pass 6
+        b"\x00\x10\x11\x12\x13"          # pass 7 row 1
+        b"\x00\x30\x31\x32\x33"          # pass 7 row 3
+    )
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(blob)
+    want = np.array(
+        [[16 * r + c for c in range(4)] for r in range(4)], dtype=np.uint8
+    ).reshape(4, 4, 1)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "w,h", [(1, 1), (2, 3), (7, 5), (8, 8), (13, 11), (64, 48), (3, 9)]
+)
+def test_adam7_roundtrip_matches_plain(w, h):
+    payload = bytes((i * 37 + w) % 256 for i in range(w * h))
+    plain = decode_png_pixels(encode_png(w, h, payload))
+    inter = decode_png_pixels(encode_png_adam7(w, h, payload))
+    assert plain.shape == inter.shape == (h, w, 1)
+    assert np.array_equal(plain, inter)
+    assert plain.reshape(-1).tobytes() == payload
+
+
+@pytest.mark.parametrize("bit_depth", [1, 2, 4, 8])
+def test_palette_roundtrip_all_depths(bit_depth):
+    n_colors = min(16, 1 << bit_depth)
+    pal = bytes(
+        b
+        for j in range(n_colors)
+        for b in ((j * 3) % 256, (j * 5 + 1) % 256, (j * 7 + 2) % 256)
+    )
+    w, h = 10, 7
+    idx = bytes((i * 5 + 3) % n_colors for i in range(w * h))
+    px = decode_png_pixels(encode_png_palette(w, h, idx, pal, bit_depth))
+    assert px.shape == (h, w, 3)
+    want = np.array(
+        [((j * 3) % 256, (j * 5 + 1) % 256, (j * 7 + 2) % 256) for j in idx],
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    assert np.array_equal(px, want)
+
+
+def test_palette_2bit_hand_built_golden():
+    """Hand-packed 2-bit scanlines: width 5 -> 10 bits -> 2 bytes/row
+    with 6 pad bits, MSB-first. Row 0 indices (0,1,2,3,0) pack to
+    0b00011011 0b00______ = 0x1B 0x00; row 1 (3,2,1,0,3) -> 0xE4 0xC0."""
+    pal = bytes(v for j in range(4) for v in (10 * j, 20 * j, 30 * j))
+    raw = b"\x00\x1b\x00" + b"\x00\xe4\xc0"
+    ihdr = struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(blob)
+    idx = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]]
+    want = np.array(
+        [[(10 * j, 20 * j, 30 * j) for j in row] for row in idx],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_palette_with_nonzero_filters():
+    """Filters apply to the PACKED index bytes (fdist=1 for sub-byte) —
+    forward-filter a palette-8 image by hand through Sub/Up/Paeth and
+    require exact index recovery through PLTE."""
+    rng = np.random.default_rng(7)
+    w, h, nc = 6, 5, 8
+    idx = rng.integers(0, nc, size=(h, w, 1), dtype=np.uint8)
+    pal = bytes(v for j in range(nc) for v in (j * 2, j * 4 + 1, j * 8 + 3))
+    raw = _forward_filter(idx, [1, 2, 4, 0, 3])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(blob)
+    want = np.array(
+        [
+            [(j * 2, j * 4 + 1, j * 8 + 3) for j in row]
+            for row in idx[:, :, 0]
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_palette_index_out_of_range_rejected():
+    with pytest.raises(ValueError):
+        encode_png_palette(2, 1, b"\x00\x05", bytes(9), bit_depth=8)
+    # decoder side: valid structure, index beyond PLTE entries
+    raw = b"\x00\x05"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", bytes(9))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_pixels(blob)
