@@ -5731,73 +5731,13 @@ def embedding_quantize_int8(spark, sf_dir):
 # =========================================================================
 
 _FRONT_ORDER = [
-    # round-3 batch 5: never driver-checked, all oracle-paired — they lead
-    "crawl_mime_sniff",
-    "crawl_mirror_hosts",
-    "dedup_span_fingerprints",
-    "multimodal_video_meta",
-    "multimodal_png_pixels",
-    "graph_triangle_stats",
-    "crawl_hreflang_alternates",
-    # round-3 batch 4: never driver-checked, all oracle-paired
-    "crawl_redirect_resolve",
-    "crawl_conditional_get",
-    "crawl_adaptive_budget",
-    "crawl_host_pld",
-    "decontaminate_ngram_overlap",
-    "graph_hits_2iter",
-    # round-3 batch 3: never driver-checked, all oracle-paired
-    "crawl_html_meta",
-    "crawl_charset_decode",
-    "warc_roundtrip",
-    "crawl_url_template_mining",
-    "text_pii_scrub",
-    "text_quality_linear_score",
-    "text_bigram_lm_score",
-    "dedup_within_doc_lines",
-    # round-3 batch 2: never driver-checked, all oracle-paired
-    "crawl_sitemap_entries",
-    "graph_anchor_text",
-    "text_c4_filter_chain",
-    "text_tfidf_topk",
-    # round-2 additions that sat outside the round-2 50-slot window
-    # (VERDICT r2 "Next round" #1) — never driver-checked, all
-    # oracle-paired, so they lead
-    "graph_bfs_hops",
-    "split_train_test_stratified",
-    "pagerank_mass_3iter",
-    "connected_components_3iter",
-    "pack_doc_chunks",
-    "mix_sources_interleave",
-    "multimodal_audio_meta",
-    "window_percent_cume",
-    "window_last_ignore_nulls",
-    "unpivot_lineitem_metrics",
-    "explode_outer_doc_words",
-    "null_safe_join_values",
-    "dedup_title_levenshtein",
-    "text_bpe_token_count",
-    # round-3 batch 6 + real-codec multimodal: never driver-checked, all
-    # oracle-paired. The multimodal entries carry the REAL jpeg/mp3/mp4/
-    # png/gif/wav codecs, so their green rows retire the "codecs are
-    # stubs" claim — they take window slots ahead of entries whose
-    # operator CLASS already has green r1/r2 rows (robots/sitemap/exact-
-    # dedup/inverted-index/snapshot-diff/stratified-sample siblings,
-    # deferred below for round 4).
-    "dedup_cluster_canonical",
-    "embedding_quantize_int8",
-    "multimodal_jpeg_meta",
-    "multimodal_mp3_meta",
-    "multimodal_image_meta",
-    "multimodal_video_frames",
-    "multimodal_jpeg_pixels",
-    "multimodal_gif_pixels",
-    "multimodal_audio_waveform",
-    "crawl_warc_cdx",
-    "streaming_seed_ingest",
-    # --- 50-slot driver window ends here. Everything below is outside
-    # the window this round; round 4 leads with whatever still has no
-    # CORRECTNESS row, per the round-2 playbook.
+    # ------------------------------------------------------------------
+    # Round-4 window (VERDICT r3 "Next round" #1): the 15 entries that
+    # have NEVER had a driver CORRECTNESS row lead; with them green,
+    # every entry in the registry has been driver-checked at least once.
+    # Registry growth is FROZEN at the current count until that holds —
+    # the two round-4 additions below fit the free-slot budget.
+    # ------------------------------------------------------------------
     "multimodal_gif_meta",
     "crawl_sitemap_index",
     "crawl_robots_parse",
@@ -5813,9 +5753,12 @@ _FRONT_ORDER = [
     "text_bigram_topk",
     "crawl_url_depth_stats",
     "text_nfc_normalize",
-    # rows-only entries: their clean runs are worth re-recording every
-    # round (the oracle can't check them, so driver "ran clean" is the
-    # only per-round evidence)
+    # round-4 additions (both oracle-paired): gzip WARC + paletted/Adam7
+    # PNG — new surfaces, never checked
+    "crawl_warc_gzip",
+    "multimodal_png_palette",
+    # rows-only entries: the oracle can't check them, so a per-round
+    # clean driver run is their only driver-side evidence — re-record
     "crawl_seen_bloom",
     "crawl_seen_cuckoo",
     "dedup_minhash_lsh",
@@ -5827,23 +5770,79 @@ _FRONT_ORDER = [
     "multimodal_feature_ann",
     "crawl_recrawl_ttl",
     "approx_distinct_parts",
-    # entries whose implementation changed this round (advisory fixes:
-    # minhash domain widening + word-array reuse are covered by
-    # dedup_minhash_lsh above; null_safe_join_values leads; k-means
-    # sampler fix re-verifies via ann_ivf_topk above) and the crawl
-    # plane, which is the engine's core surface
+    # entries whose implementation changed since their last green row:
+    # media-codec hardening (MP4 table bounds + quarantine widening,
+    # JPEG standalone-marker fix, WAV u8 centering — ADVICE r3), the
+    # PNG decoder rework (palette/Adam7/sub-byte), the
+    # dedup_cluster_canonical barrier fold, the WARC module refactor,
+    # and the politeness (df, unpersist) API change
+    "multimodal_video_meta",
+    "multimodal_video_frames",
+    "multimodal_jpeg_meta",
+    "multimodal_jpeg_pixels",
+    "multimodal_audio_meta",
+    "multimodal_audio_waveform",
+    "multimodal_png_pixels",
+    "dedup_cluster_canonical",
+    "warc_roundtrip",
+    "crawl_warc_cdx",
+    "crawl_politeness_topk",
+    "crawl_fetch_join",
+    # crawl-plane core representatives fill the remaining slots
     "crawl_seed_ingest",
     "crawl_canonicalize",
     "crawl_host_extract",
-    "crawl_politeness_topk",
     "crawl_frontier_antijoin",
     "crawl_robots_filter",
-    "crawl_robots_wildcard",
-    "crawl_fetch_join",
     "crawl_rss_entries",
     "crawl_extract_text",
     "crawl_link_extract",
     "feeds_process_capped",
+    "q1_pricing_summary",
+    # --- 50-slot driver window ends here. Every entry below already has
+    # at least one green CORRECTNESS row from rounds 1-3 and an
+    # unchanged implementation.
+    "crawl_mime_sniff",
+    "crawl_mirror_hosts",
+    "dedup_span_fingerprints",
+    "graph_triangle_stats",
+    "crawl_hreflang_alternates",
+    "crawl_redirect_resolve",
+    "crawl_conditional_get",
+    "crawl_adaptive_budget",
+    "crawl_host_pld",
+    "decontaminate_ngram_overlap",
+    "graph_hits_2iter",
+    "crawl_html_meta",
+    "crawl_charset_decode",
+    "crawl_url_template_mining",
+    "text_pii_scrub",
+    "text_quality_linear_score",
+    "text_bigram_lm_score",
+    "dedup_within_doc_lines",
+    "crawl_sitemap_entries",
+    "graph_anchor_text",
+    "text_c4_filter_chain",
+    "text_tfidf_topk",
+    "graph_bfs_hops",
+    "split_train_test_stratified",
+    "pagerank_mass_3iter",
+    "connected_components_3iter",
+    "pack_doc_chunks",
+    "mix_sources_interleave",
+    "window_percent_cume",
+    "window_last_ignore_nulls",
+    "unpivot_lineitem_metrics",
+    "explode_outer_doc_words",
+    "null_safe_join_values",
+    "dedup_title_levenshtein",
+    "text_bpe_token_count",
+    "embedding_quantize_int8",
+    "multimodal_mp3_meta",
+    "multimodal_image_meta",
+    "multimodal_gif_pixels",
+    "streaming_seed_ingest",
+    "crawl_robots_wildcard",
     # dedup/ANN/text pipeline representatives
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
@@ -5856,7 +5855,6 @@ _FRONT_ORDER = [
     "text_repetition_stats",
     "text_rare_word_stats",
     # one representative per relational operator class
-    "q1_pricing_summary",
     "q3_top_revenue_orders",
     "broadcast_dim_join",
     "outer_join_order_counts",

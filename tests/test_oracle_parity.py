@@ -68,6 +68,16 @@ ORACLE_NAMES = sorted(ORACLE_SQL)
 ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
 
 
+def test_parity_sweep_covers_entire_registry():
+    """Every registry entry is swept — either oracle-paired or rows-only
+    (VERDICT r3 #8: a new query cannot ship without dual-scale parity;
+    the parametrize lists above enumerate the registry dynamically, and
+    this pins the accounting: sweep count == registry count, and every
+    oracle key maps to a registered query)."""
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert len(ORACLE_NAMES) + len(ROWS_ONLY_NAMES) == len(QUERIES)
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     got = QUERIES[name](spark, SF_DIR).toPandas()
