@@ -96,9 +96,10 @@ HEADLINE_QUERIES = [
     # round-3 batch 6: dedup cluster resolution + quantization planes
     "dedup_cluster_canonical",
     "embedding_quantize_int8",
-    # round-4 additions: gzip WARC + paletted/progressive PNG decode
+    # round-4 additions: gzip WARC, paletted/progressive PNG, G.711 audio
     "crawl_warc_gzip",
     "multimodal_png_palette",
+    "multimodal_audio_g711",
 ]
 
 

@@ -15,6 +15,15 @@ partition-preserving mapInPandas. Codec status per format:
   walker (RIFF+WAVE magic, fmt/data chunk scan, little-endian field
   extraction per the canonical WAVE format) and ``encode_wav`` a minimal
   spec-valid PCM encoder used by tests and the driver fixture.
+- **G.711 (a-law/µ-law) WAV: REAL, both directions.** WAVE format tags
+  6/7 carry ITU-T G.711 companded telephony audio (the other payload,
+  besides PCM, that is pure integer arithmetic — no codec library).
+  ``ulaw_to_linear``/``alaw_to_linear`` implement the segment-expansion
+  formulas from G.711 Tables 1a/2a; ``linear_to_ulaw``/``linear_to_alaw``
+  are the matching midpoint quantizers derived BY CONSTRUCTION from the
+  decode tables (single source of truth, so encode∘decode is the
+  identity on codes). ``decode_wav_samples`` expands tags 6/7 to linear
+  int32 samples.
 - **JPEG metadata: REAL.** ``parse_jpeg_meta`` is a stdlib-only marker
   walker (ITU T.81 segment syntax: SOI, length-prefixed segments, SOFn
   frame-header field extraction) and ``encode_jpeg`` a minimal
@@ -668,20 +677,27 @@ AUDIO_META_SCHEMA = (
 
 
 def encode_wav(
-    sample_rate: int, n_channels: int, payload: bytes, bits: int = 16
+    sample_rate: int,
+    n_channels: int,
+    payload: bytes,
+    bits: int = 16,
+    fmt_tag: int = 1,
 ) -> bytes:
-    """REAL minimal RIFF/WAVE PCM encoder (stdlib only): canonical 44-byte
-    header (RIFF size, 'WAVE', 16-byte fmt chunk with PCM tag, data
-    chunk) followed by the sample payload (truncated to whole frames).
-    Spec-valid, independently readable by any WAV reader (e.g. the
-    stdlib `wave` module)."""
-    if sample_rate <= 0 or n_channels <= 0 or bits % 8:
+    """REAL minimal RIFF/WAVE encoder (stdlib only): canonical 44-byte
+    header (RIFF size, 'WAVE', 16-byte fmt chunk, data chunk) followed by
+    the sample payload (truncated to whole frames). fmt_tag 1 = linear
+    PCM (8/16-bit); 6 = G.711 a-law, 7 = G.711 µ-law (both 8 bits/sample
+    per the WAVE spec). Spec-valid, independently readable by any WAV
+    reader (e.g. the stdlib `wave` module)."""
+    if fmt_tag in (6, 7):
+        bits = 8  # G.711 is defined as 8 bits/sample
+    if sample_rate <= 0 or n_channels <= 0 or bits % 8 or fmt_tag not in (1, 6, 7):
         raise ValueError("invalid WAV parameters")
     block_align = n_channels * bits // 8
     data = payload[: (len(payload) // block_align) * block_align]
     byte_rate = sample_rate * block_align
     fmt = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+        "<HHIIHH", fmt_tag, n_channels, sample_rate, byte_rate, block_align, bits
     )
     return (
         b"RIFF"
@@ -716,7 +732,7 @@ def parse_wav_meta(blob: bytes) -> dict:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data_len is None:
         raise ValueError("WAV missing fmt or data chunk")
-    _tag, n_channels, sample_rate, _brate, block_align, bits = fmt
+    tag, n_channels, sample_rate, _brate, block_align, bits = fmt
     if block_align <= 0 or sample_rate <= 0:
         raise ValueError("WAV fmt fields invalid")
     frames = data_len // block_align
@@ -724,24 +740,103 @@ def parse_wav_meta(blob: bytes) -> dict:
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "bits": bits,
+        "fmt_tag": tag,
         "n_frames": frames,
         "duration_ms": frames * 1000 // sample_rate,
     }
+
+
+def _g711_tables():
+    """Build the 256-entry G.711 decode tables from the segment-expansion
+    formulas (ITU-T G.711 Tables 1a/2a, classic telephony formulation in
+    16-bit linear range). Pure integer arithmetic — the SQL oracle
+    re-derives the exact same expansion per byte.
+
+    µ-law: u = ~b; t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7);
+           value = 0x84 - t if sign bit else t - 0x84   (range ±32124)
+    a-law: a = b ^ 0x55; seg = (a >> 4) & 7; m = a & 0xF;
+           t = m*16+8 if seg==0 else (m*16+264) << (seg-1)
+           value = +t if sign bit else -t               (range ±32256)
+    """
+    import numpy as np
+
+    b = np.arange(256, dtype=np.int64)
+    u = 255 - b  # ~b for a uint8
+    t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    ulaw = np.where(u >= 128, 0x84 - t, t - 0x84).astype(np.int32)
+    a = b ^ 0x55
+    seg = (a >> 4) & 7
+    m = a & 0xF
+    t = np.where(seg == 0, m * 16 + 8, (m * 16 + 264) << np.maximum(seg - 1, 0))
+    alaw = np.where(a >= 128, t, -t).astype(np.int32)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+def ulaw_to_linear(codes):
+    """REAL G.711 µ-law expansion: uint8 code array -> int32 linear
+    samples (±32124). Vectorized table lookup; the table itself is the
+    spec formula (see _g711_tables)."""
+    import numpy as np
+
+    return _ULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+def alaw_to_linear(codes):
+    """REAL G.711 a-law expansion: uint8 code array -> int32 linear
+    samples (±32256)."""
+    import numpy as np
+
+    return _ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+def _g711_encoder(table):
+    """Midpoint quantizer derived from a G.711 decode table: a linear
+    sample maps to the code whose decoded value is nearest (exact G.711
+    segment quantization, since segment decode values ARE the segment
+    midpoints). Built by construction from the decode table, so
+    encode(decode(code)) == code wherever decode is injective (all a-law
+    codes; all µ-law codes except one of the two zero codes 0x7F/0xFF)."""
+    import numpy as np
+
+    order = np.argsort(table, kind="stable")
+    vals = table[order].astype(np.int64)
+    mids = (vals[:-1] + vals[1:]) // 2  # floor-midpoint decision levels
+
+    def encode(samples):
+        s = np.asarray(samples, dtype=np.int64)
+        # side='right' puts a sample equal to a decision level with the
+        # LOWER code value — deterministic tie-break
+        idx = np.searchsorted(mids, s, side="right")
+        return order[idx].astype(np.uint8)
+
+    return encode
+
+
+linear_to_ulaw = _g711_encoder(_ULAW_TABLE)
+linear_to_alaw = _g711_encoder(_ALAW_TABLE)
 
 
 def decode_wav_samples(blob: bytes):
     """REAL PCM waveform decode (stdlib+numpy): locate the data chunk via
     the same RIFF walk as parse_wav_meta and reinterpret it as samples —
     little-endian int16 (the canonical PCM encoding) or uint8, reshaped
-    to (frames, channels). Raw PCM *is* the waveform, so unlike MP3 this
-    needs no codec library; returns an int32 array (values in int16/uint8
-    range) so downstream reductions can't overflow."""
+    to (frames, channels). G.711 payloads (fmt tags 6/7) are expanded to
+    linear through the real a-law/µ-law tables. Raw PCM *is* the
+    waveform, so unlike MP3 this needs no codec library; returns an int32
+    array so downstream reductions can't overflow."""
     import numpy as np
 
     meta = parse_wav_meta(blob)
-    bits, chans = meta["bits"], meta["n_channels"]
-    if bits not in (8, 16):
+    bits, chans, tag = meta["bits"], meta["n_channels"], meta["fmt_tag"]
+    if tag not in (1, 6, 7):
+        raise NotImplementedError("only PCM / G.711 a-law / µ-law WAV supported")
+    if tag == 1 and bits not in (8, 16):
         raise NotImplementedError("only 8/16-bit PCM WAV supported")
+    if tag in (6, 7) and bits != 8:
+        raise ValueError("G.711 WAV must declare 8 bits/sample")
     pos = 12
     data = None
     while pos + 8 <= len(blob):
@@ -756,12 +851,19 @@ def decode_wav_samples(blob: bytes):
     dt = np.dtype("<i2") if bits == 16 else np.uint8
     width = (bits // 8) * chans
     usable = (len(data) // width) * width
-    arr = np.frombuffer(data[:usable], dtype=dt).astype(np.int32)
-    if bits == 8:
-        # 8-bit PCM is UNSIGNED 0..255 per the WAV spec; center at 128 so
-        # both bit depths yield zero-centered amplitudes and downstream
-        # sum_abs/peak/dc reductions are amplitude-meaningful (ADVICE r3)
-        arr -= 128
+    raw = np.frombuffer(data[:usable], dtype=dt)
+    if tag == 7:
+        arr = ulaw_to_linear(raw).astype(np.int32)
+    elif tag == 6:
+        arr = alaw_to_linear(raw).astype(np.int32)
+    else:
+        arr = raw.astype(np.int32)
+        if bits == 8:
+            # 8-bit PCM is UNSIGNED 0..255 per the WAV spec; center at 128
+            # so both bit depths yield zero-centered amplitudes and
+            # downstream sum_abs/peak/dc reductions are amplitude-
+            # meaningful (ADVICE r3)
+            arr -= 128
     return arr.reshape(-1, chans)
 
 

@@ -2905,6 +2905,7 @@ def _duck_be_from_hex(hx_col: str, start: int, ndigits: int) -> str:
 
 
 from ..sources.fixtures import (
+    G711_FIXTURE_PATH,
     GIF_ANIM_FIXTURE_PATH,
     GIF_FIXTURE_PATH,
     JPEG_FIXTURE_PATH,
@@ -3346,6 +3347,82 @@ def multimodal_audio_waveform(spark, sf_dir):
 
     d = _doc_urls(spark, sf_dir).select("doc_id", "url")
     wav = spark.read.parquet(ensure_wav_fixture())
+    joined = wav.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("wav").alias("blob")
+    )
+    return audio_waveform_stats(joined, "url", "blob")
+
+
+@_q(
+    "multimodal_audio_g711",
+    f"""
+    WITH lut AS (
+      SELECT b,
+        CASE WHEN (255 - b) >= 128
+             THEN 132 - (((255 - b) % 16) * 8 + 132)
+                  * (1 << (((255 - b) // 16) % 8))
+             ELSE (((255 - b) % 16) * 8 + 132)
+                  * (1 << (((255 - b) // 16) % 8)) - 132
+        END AS ulaw,
+        CASE WHEN xor(b, 85) >= 128
+             THEN CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                       THEN (xor(b, 85) % 16) * 16 + 8
+                       ELSE ((xor(b, 85) % 16) * 16 + 264)
+                            * (1 << ((xor(b, 85) // 16) % 8 - 1)) END
+             ELSE -(CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                       THEN (xor(b, 85) % 16) * 16 + 8
+                       ELSE ((xor(b, 85) % 16) * 16 + 264)
+                            * (1 << ((xor(b, 85) // 16) % 8 - 1)) END)
+        END AS alaw
+      FROM range(0, 256) t(b)),
+    tabs AS (
+      SELECT list(ulaw ORDER BY b) AS utab, list(alaw ORDER BY b) AS atab
+      FROM lut),
+    p AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             (1 + (doc_id // 2) % 2) * (40 + (doc_id * 11) % 300) AS n,
+             doc_id % 2 = 0 AS is_ulaw
+      FROM read_parquet('{G711_FIXTURE_PATH}')),
+    s AS (
+      SELECT doc_id, rate, n,
+             list_transform(range(0, n), j ->
+               CASE WHEN is_ulaw
+                    THEN utab[CAST((doc_id * 2654435761 + j * 40503) % 256
+                              AS INT) + 1]
+                    ELSE atab[CAST((doc_id * 2654435761 + j * 40503) % 256
+                              AS INT) + 1]
+               END) AS vals
+      FROM p, tabs)
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(vals, v -> abs(v))) AS BIGINT)
+             AS sum_abs,
+           CAST(list_max(list_transform(vals, v -> abs(v))) AS INT) AS peak,
+           CAST(list_sum(vals) AS BIGINT) AS dc_sum
+    FROM s JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_audio_g711(spark, sf_dir):
+    """REAL G.711 (a-law/µ-law) decode through the engine: WAVE fmt tags
+    6/7 carry companded telephony audio whose expansion to linear is pure
+    integer arithmetic (ITU-T G.711 segment formulas) — the second audio
+    coding after raw PCM that needs no codec library. decode_wav_samples
+    reads the fmt tag and expands each payload byte through the real
+    decode tables; audio_waveform_stats reduces as for PCM. Non-circular
+    check: the oracle never touches the decoder or the RIFF layout — it
+    rebuilds the 256-entry expansion tables from the G.711 formulas in
+    SQL and re-derives every sample from the fixture's generative byte
+    formula. The routes agree only if the tag dispatch, the table
+    construction, and the chunk walk are all right. Blob rule holds:
+    mapInPandas, no blob shuffle."""
+    from ..functions.multimodal import audio_waveform_stats
+    from ..sources.fixtures import ensure_g711_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    wav = spark.read.parquet(ensure_g711_fixture())
     joined = wav.join(F.broadcast(d), "doc_id").select(
         "url", F.col("wav").alias("blob")
     )
@@ -5753,10 +5830,11 @@ _FRONT_ORDER = [
     "text_bigram_topk",
     "crawl_url_depth_stats",
     "text_nfc_normalize",
-    # round-4 additions (both oracle-paired): gzip WARC + paletted/Adam7
-    # PNG — new surfaces, never checked
+    # round-4 additions (all oracle-paired): gzip WARC, paletted/Adam7
+    # PNG, G.711 telephony audio — new surfaces, never checked
     "crawl_warc_gzip",
     "multimodal_png_palette",
+    "multimodal_audio_g711",
     # rows-only entries: the oracle can't check them, so a per-round
     # clean driver run is their only driver-side evidence — re-record
     "crawl_seen_bloom",
@@ -5798,10 +5876,10 @@ _FRONT_ORDER = [
     "crawl_extract_text",
     "crawl_link_extract",
     "feeds_process_capped",
-    "q1_pricing_summary",
     # --- 50-slot driver window ends here. Every entry below already has
     # at least one green CORRECTNESS row from rounds 1-3 and an
     # unchanged implementation.
+    "q1_pricing_summary",
     "crawl_mime_sniff",
     "crawl_mirror_hosts",
     "dedup_span_fingerprints",
@@ -5894,11 +5972,13 @@ try:
     from ..sources.fixtures import (
         ensure_png_palette_fixture as _ensure_png_palette_fixture,
     )
+    from ..sources.fixtures import ensure_g711_fixture as _ensure_g711_fixture
     from ..sources.fixtures import ensure_wav_fixture as _ensure_wav_fixture
 
     _ensure_png_fixture()
     _ensure_png_palette_fixture()
     _ensure_wav_fixture()
+    _ensure_g711_fixture()
     _ensure_jpeg_fixture()
     _ensure_mp3_fixture()
     _ensure_mp4_fixture()

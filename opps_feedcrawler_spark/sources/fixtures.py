@@ -54,6 +54,9 @@ GIF_FIXTURE_PATH = os.path.join(
 PNG_PALETTE_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-png-palette-fixture-v1.parquet"
 )
+G711_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-g711-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -145,6 +148,57 @@ def ensure_wav_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return WAV_FIXTURE_PATH
+
+
+def g711_params(doc_id: int) -> tuple[int, int, int, int]:
+    """Fixture G.711 parameters (fmt_tag, sample_rate, n_channels,
+    n_frames): even doc_ids carry µ-law (tag 7), odd a-law (tag 6) —
+    both telephony codings, rates swept like the PCM fixture."""
+    return (
+        7 if doc_id % 2 == 0 else 6,
+        _WAV_RATES[doc_id % len(_WAV_RATES)],
+        1 + (doc_id // 2) % 2,
+        40 + (doc_id * 11) % 300,
+    )
+
+
+def ensure_g711_fixture() -> str:
+    """Create G711_FIXTURE_PATH if missing; return the path. One G.711
+    WAV per doc_id (real encode_wav with fmt tag 6/7), payload bytes from
+    the shared Knuth-hash stream — every byte value is a valid G.711
+    code, so the whole byte space is exercised and the DuckDB oracle can
+    re-derive every decoded sample from the generative formula through
+    the exact segment-expansion arithmetic. Atomic like the PNG path."""
+    if os.path.exists(G711_FIXTURE_PATH):
+        return G711_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_wav
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        tag, rate, chans, frames = g711_params(doc_id)
+        payload = png_payload(doc_id, frames * chans)
+        ids.append(doc_id)
+        blobs.append(encode_wav(rate, chans, payload, fmt_tag=tag))
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "wav": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(G711_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, G711_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return G711_FIXTURE_PATH
 
 
 def jpeg_dims(doc_id: int) -> tuple[int, int]:

@@ -38,6 +38,7 @@ def test_parser_on_hand_spelled_wav():
         "sample_rate": 8000,
         "n_channels": 1,
         "bits": 16,
+        "fmt_tag": 1,
         "n_frames": 4,
         "duration_ms": 0,  # 4 frames at 8 kHz -> 0 ms (integer floor)
     }
@@ -168,3 +169,134 @@ def test_audio_waveform_stats_u8_silence(spark):
     df = spark.createDataFrame([("w8", silent)], "url string, blob binary")
     (r,) = audio_waveform_stats(df).collect()
     assert r.n_samples == 16 and r.sum_abs == 0 and r.peak == 0 and r.dc_sum == 0
+
+
+class TestG711:
+    """REAL G.711 codec (ITU-T G.711 segment expansion, WAVE fmt tags
+    6/7). Decode tables are checked against hand-transcribed spec values
+    (the classic telephony reference points), the by-construction
+    encoders against the round-trip identity on codes, and the WAV
+    dispatch end-to-end."""
+
+    def test_ulaw_spec_golden_values(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            ulaw_to_linear,
+        )
+
+        # canonical reference points of the 16-bit-range µ-law table
+        assert ulaw_to_linear([0x00]).tolist() == [-32124]  # negative max
+        assert ulaw_to_linear([0x80]).tolist() == [32124]   # positive max
+        assert ulaw_to_linear([0xFF]).tolist() == [0]       # positive zero
+        assert ulaw_to_linear([0x7F]).tolist() == [0]       # negative zero
+        assert ulaw_to_linear([0xFE]).tolist() == [8]       # smallest step
+        assert ulaw_to_linear([0x7E]).tolist() == [-8]
+
+    def test_alaw_spec_golden_values(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            alaw_to_linear,
+        )
+
+        assert alaw_to_linear([0x55]).tolist() == [-8]      # negative min
+        assert alaw_to_linear([0xD5]).tolist() == [8]       # positive min
+        assert alaw_to_linear([0x2A]).tolist() == [-32256]  # negative max
+        assert alaw_to_linear([0xAA]).tolist() == [32256]   # positive max
+
+    def test_encode_decode_identity_on_codes(self):
+        """encode(decode(code)) == code for every a-law code and every
+        µ-law code except 0x7F: µ-law has two zero codes (0x7F/0xFF) and
+        the midpoint quantizer deterministically picks 0xFF for 0."""
+        import numpy as np
+
+        from opps_feedcrawler_spark.functions.multimodal import (
+            alaw_to_linear,
+            linear_to_alaw,
+            linear_to_ulaw,
+            ulaw_to_linear,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        rt_a = linear_to_alaw(alaw_to_linear(codes))
+        assert (rt_a == codes).all()
+        rt_u = linear_to_ulaw(ulaw_to_linear(codes))
+        mismatch = codes[rt_u != codes].tolist()
+        assert mismatch == [0x7F]
+        assert linear_to_ulaw([0])[0] == 0xFF
+
+    def test_quantizer_error_bounded_by_half_step(self):
+        """decode(encode(x)) is within half the top-segment step of the
+        clipped input — the defining property of midpoint quantization
+        (µ-law top step 1024 -> 512; a-law top step 1024 -> 512)."""
+        import numpy as np
+
+        from opps_feedcrawler_spark.functions.multimodal import (
+            alaw_to_linear,
+            linear_to_alaw,
+            linear_to_ulaw,
+            ulaw_to_linear,
+        )
+
+        x = np.arange(-32768, 32768, 3, dtype=np.int64)
+        du = ulaw_to_linear(linear_to_ulaw(x)).astype(np.int64)
+        assert np.abs(du - np.clip(x, -32124, 32124)).max() <= 512
+        da = alaw_to_linear(linear_to_alaw(x)).astype(np.int64)
+        assert np.abs(da - np.clip(x, -32256, 32256)).max() <= 512
+
+    def test_wav_dispatch_and_stereo_reshape(self):
+        import numpy as np
+
+        from opps_feedcrawler_spark.functions.multimodal import (
+            alaw_to_linear,
+            decode_wav_samples,
+            parse_wav_meta,
+            ulaw_to_linear,
+        )
+
+        payload = bytes(range(256))
+        blob = encode_wav(8000, 2, payload, fmt_tag=7)
+        meta = parse_wav_meta(blob)
+        assert meta["fmt_tag"] == 7 and meta["bits"] == 8
+        assert meta["n_frames"] == 128
+        out = decode_wav_samples(blob)
+        assert out.shape == (128, 2)
+        ref = ulaw_to_linear(np.frombuffer(payload, np.uint8))
+        assert (out.reshape(-1) == ref).all()
+        out6 = decode_wav_samples(encode_wav(16000, 1, payload, fmt_tag=6))
+        ref6 = alaw_to_linear(np.frombuffer(payload, np.uint8))
+        assert (out6.reshape(-1) == ref6).all()
+
+    def test_unsupported_tag_raises_not_implemented(self):
+        from opps_feedcrawler_spark.functions.multimodal import (
+            decode_wav_samples,
+        )
+
+        # hand-build a fmt tag 2 (ADPCM) header: parse succeeds (it is a
+        # structural walk), decode refuses with the declared-stub error
+        blob = (
+            b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 8) + bytes(8)
+        )
+        assert parse_wav_meta(blob)["fmt_tag"] == 2
+        with pytest.raises(NotImplementedError):
+            decode_wav_samples(blob)
+
+    def test_waveform_stats_over_g711(self, spark):
+        """Stage-level: audio_waveform_stats over a µ-law blob reduces
+        the EXPANDED amplitudes (not the code bytes)."""
+        import numpy as np
+
+        from opps_feedcrawler_spark.functions.multimodal import (
+            audio_waveform_stats,
+            ulaw_to_linear,
+        )
+
+        payload = bytes([0x00, 0x80, 0xFF, 0x7F, 0xFE, 0x7E])
+        blob = encode_wav(8000, 1, payload, fmt_tag=7)
+        df = spark.createDataFrame([("g", blob)], "url string, blob binary")
+        (r,) = audio_waveform_stats(df).collect()
+        vals = ulaw_to_linear(np.frombuffer(payload, np.uint8)).astype(np.int64)
+        assert r.n_samples == 6
+        assert r.sum_abs == int(np.abs(vals).sum()) == 64264
+        assert r.peak == 32124
+        assert r.dc_sum == int(vals.sum()) == 0
