@@ -807,8 +807,10 @@ def _g711_encoder(table):
 
     def encode(samples):
         s = np.asarray(samples, dtype=np.int64)
-        # side='right' puts a sample equal to a decision level with the
-        # LOWER code value — deterministic tie-break
+        # every G.711 step is even, so each floor-midpoint is an exact
+        # tie point; side='right' sends a sample ON the decision level to
+        # the HIGHER decoded value — deterministic (this is also what
+        # resolves µ-law's duplicate zero to 0xFF)
         idx = np.searchsorted(mids, s, side="right")
         return order[idx].astype(np.uint8)
 
