@@ -145,6 +145,10 @@ _GZ_MAGIC = b"\x1f\x8b"
 # member bytes are a pure function of the payload (resume/replay and the
 # cross-parallelism determinism contract need byte-stable shard files).
 _GZ_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+# member-walk feed size: big enough that a typical ~10 KB-page member is
+# one call, small enough that the per-member unused_data overfeed copy
+# stays trivial
+_GZ_CHUNK = 1 << 18
 
 
 def _gzip_member(data: bytes) -> bytes:
@@ -180,24 +184,38 @@ def _gz_member_offsets(
     prefix is still returned, matching the plain-WARC salvage behavior.
     Members inflate whole here; shard files are size-bounded by
     construction (to_warc_gz_sharded's skew rule), so the working set is
-    one record, not one archive."""
+    one record, not one archive.
+
+    The input is fed in bounded chunks off a memoryview: handing zlib the
+    whole remaining tail per member (``d.decompress(buf[pos:])``) copies
+    that tail TWICE per member — once for the slice, once more because
+    ``unused_data`` materializes everything past the stream end — which is
+    O(archive_bytes x members) memcpy. A real Common-Crawl shard is ~1 GB
+    with ~10^5 members; the chunked feed keeps the walk linear with at
+    most one chunk of overfeed surfacing in ``unused_data``."""
     if not blob:
         return []
     buf = bytes(blob)
+    view = memoryview(buf)
     pos, n = 0, len(buf)
     out: list[tuple[int, int, bytes]] = []
     while pos < n:
         if buf[pos : pos + 2] != _GZ_MAGIC:
             break
         d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        parts: list[bytes] = []
+        fed = 0
         try:
-            inflated = d.decompress(buf[pos:])
+            while not d.eof and pos + fed < n:
+                chunk = view[pos + fed : pos + fed + _GZ_CHUNK]
+                parts.append(d.decompress(chunk))
+                fed += len(chunk)
         except zlib.error:
             break
         if not d.eof:
             break  # truncated tail member
-        mlen = (n - pos) - len(d.unused_data)
-        out.append((pos, mlen, inflated))
+        mlen = fed - len(d.unused_data)
+        out.append((pos, mlen, b"".join(parts)))
         pos += mlen
     return out
 

@@ -169,3 +169,71 @@ def test_gz_flg_name_header_tolerated():
     )
     blob = fname_member + build_warc_gz_py(RECS[1:])
     assert [r["url"] for r in parse_warc_gz_py(blob)] == [u for u, _, _ in RECS]
+
+
+def test_gz_chunked_walk_spans_chunk_boundaries():
+    """The member walk feeds zlib bounded chunks (linear-time over a
+    many-member shard); members whose compressed or inflated size
+    straddles _GZ_CHUNK must still demarcate exactly."""
+    from opps_feedcrawler_spark.sources.warc import _GZ_CHUNK
+
+    ts = datetime(2024, 3, 1, 0, 0, 5)
+    recs = [
+        # incompressible payload (sha256 counter mode, deterministic)
+        # -> compressed member > one chunk
+        ("http://big.example/rand", ts,
+         b"".join(hashlib.sha256(i.to_bytes(4, "big")).digest()
+                  for i in range((_GZ_CHUNK + 70000) // 32))),
+        # highly compressible payload -> inflated size >> chunk, tiny member
+        ("http://big.example/zeros", ts, b"\x00" * (2 * _GZ_CHUNK + 11)),
+        ("http://tail.example/t", ts, b"tail"),
+    ]
+    blob = build_warc_gz_py(recs)
+    members = _gz_member_offsets(blob)
+    assert len(members) == 3
+    assert members[0][1] > _GZ_CHUNK  # first member really spans a chunk
+    pos = 0
+    for (off, mlen, inflated), (u, _, p) in zip(members, recs):
+        assert off == pos
+        assert gzip.decompress(blob[off : off + mlen]) == inflated
+        [r] = parse_warc_py(inflated)
+        assert (r["url"], r["payload"]) == (u, p)
+        pos = off + mlen
+    assert pos == len(blob)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**20),
+            st.binary(max_size=4096),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_gz_walk_roundtrip_and_salvage_property(items, cut):
+    """Property: any record set roundtrips through build/parse; truncating
+    the blob anywhere salvages exactly the members that end before the
+    cut (never a wrong or partial record)."""
+    ts = datetime(2024, 3, 1, 0, 0, 5)
+    recs = [(f"http://h.example/{i}-{n}", ts, p) for i, (n, p) in enumerate(items)]
+    blob = build_warc_gz_py(recs)
+    back = parse_warc_gz_py(blob)
+    assert [(r["url"], r["payload"]) for r in back] == [
+        (u, p) for u, _, p in recs
+    ]
+    members = _gz_member_offsets(blob)
+    ends = [off + mlen for off, mlen, _ in members]
+    cut_at = max(0, len(blob) - cut)
+    salvaged = parse_warc_gz_py(blob[:cut_at])
+    want = sum(1 for e in ends if e <= cut_at)
+    assert [(r["url"], r["payload"]) for r in salvaged] == [
+        (u, p) for u, _, p in recs[:want]
+    ]
