@@ -484,10 +484,33 @@ def decode_png_pixels(blob: bytes):
         if ctype == b"IEND":
             break
         pos += 12 + length  # len + type + data + crc
-    raw = zlib.decompress(idat)
     samples = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     bits_pp = samples * bit_depth
     fdist = max(1, bits_pp // 8)
+
+    # the filtered-stream size is a pure function of the IHDR fields —
+    # compute it BEFORE inflating so corrupt deflate data surfaces as the
+    # contractual ValueError (zlib.error must not escape) and the inflate
+    # is capped at expected+1 rather than trusting the stream to stop
+    def _stride(rw: int) -> int:
+        return (rw * bits_pp + 7) // 8
+
+    if interlace == 0:
+        expected = hgt * (1 + _stride(w))
+    else:
+        expected = sum(
+            ph * (1 + _stride(pw))
+            for x0, y0, xs, ys in _ADAM7
+            for pw, ph in [((w - x0 + xs - 1) // xs, (hgt - y0 + ys - 1) // ys)]
+            if pw > 0 and ph > 0
+        )
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(idat, expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
+    if len(raw) != expected or not d.eof:
+        raise ValueError("PNG pixel data length mismatch")
 
     def region(p: int, rw: int, rh: int):
         stride = (rw * bits_pp + 7) // 8
@@ -726,6 +749,10 @@ def parse_wav_meta(blob: bytes) -> dict:
         cid, clen = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
         body = blob[pos + 8 : pos + 8 + clen]
         if cid == b"fmt " and clen >= 16:
+            if len(body) < 16:
+                # declared length outruns the blob (torn download) —
+                # struct.error must not escape the ValueError contract
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data_len = len(body)
@@ -733,7 +760,7 @@ def parse_wav_meta(blob: bytes) -> dict:
     if fmt is None or data_len is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, n_channels, sample_rate, _brate, block_align, bits = fmt
-    if block_align <= 0 or sample_rate <= 0:
+    if block_align <= 0 or sample_rate <= 0 or n_channels <= 0:
         raise ValueError("WAV fmt fields invalid")
     frames = data_len // block_align
     return {

@@ -437,3 +437,58 @@ def test_palette_index_out_of_range_rejected():
     )
     with pytest.raises(ValueError):
         decode_png_pixels(blob)
+
+
+def test_decode_malformed_raises_valueerror_never_zlib_error():
+    """Contract: malformed input raises ValueError — zlib.error from a
+    corrupt IDAT stream must not escape (fuzz-found, round 4). Also the
+    deterministic seed: flip one IDAT payload byte so inflate fails."""
+    from opps_feedcrawler_spark.functions.multimodal import encode_png
+
+    blob = bytearray(encode_png(5, 4, bytes(range(20))))
+    idat = blob.find(b"IDAT")
+    blob[idat + 8] ^= 0xFF  # corrupt deflate data (past the zlib header)
+    with pytest.raises(ValueError):
+        decode_png_pixels(bytes(blob))
+
+    # randomized sweep: single-byte mutants + truncations, every failure
+    # must be the contractual ValueError/NotImplementedError
+    import random
+
+    rng = random.Random(4)
+    base = bytes(encode_png(5, 4, bytes(range(20))))
+    for _ in range(300):
+        mut = bytearray(base)
+        mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            decode_png_pixels(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(len(base)):
+        try:
+            decode_png_pixels(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_decode_dimension_bomb_fails_fast():
+    """A crafted IHDR claiming 40000x40000 with a 10-byte IDAT must fail
+    on the length precheck before allocating header-sized arrays (the
+    stream-supplied-counts rule, ADVICE r3)."""
+    import struct as _s
+    import time
+
+    from opps_feedcrawler_spark.functions.multimodal import _PNG_SIG, _png_chunk
+
+    for interlace in (0, 1):
+        ihdr = _s.pack(">II5B", 40000, 40000, 8, 0, 0, 0, interlace)
+        bomb = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _png_chunk(b"IEND", b"")
+        )
+        t0 = time.monotonic()
+        with pytest.raises(ValueError, match="length mismatch"):
+            decode_png_pixels(bomb)
+        assert time.monotonic() - t0 < 1.0

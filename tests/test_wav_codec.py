@@ -300,3 +300,72 @@ class TestG711:
         assert r.sum_abs == int(np.abs(vals).sum()) == 64264
         assert r.peak == 32124
         assert r.dc_sum == int(vals.sum()) == 0
+
+
+def test_truncated_fmt_chunk_raises_valueerror():
+    """A fmt chunk whose declared length outruns the blob (torn download)
+    must raise the contractual ValueError, not struct.error — the audio
+    quarantine stage catches only ValueError (fuzz-found, round 4)."""
+    from opps_feedcrawler_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        parse_wav_meta,
+    )
+
+    blob = encode_wav(8000, 1, b"\x00" * 100, bits=16)[:28]  # cut inside fmt
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav_meta(blob)
+    with pytest.raises(ValueError):
+        decode_wav_samples(blob)
+
+
+def test_zero_channel_fmt_raises_valueerror():
+    """n_channels=0 in the fmt chunk must be rejected in parse (it drove
+    a ZeroDivisionError in decode_wav_samples' frame-width arithmetic;
+    fuzz-found, round 4)."""
+    from opps_feedcrawler_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        parse_wav_meta,
+    )
+
+    blob = bytearray(encode_wav(8000, 1, b"\x00" * 100, bits=16))
+    blob[22:24] = struct.pack("<H", 0)  # fmt.n_channels
+    with pytest.raises(ValueError, match="invalid"):
+        parse_wav_meta(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_wav_samples(bytes(blob))
+
+
+def test_wav_mutation_sweep_only_contractual_errors():
+    """Single-byte mutants and truncations of valid PCM and G.711 WAVs
+    fail only with ValueError/NotImplementedError (or decode fine) —
+    never struct.error / ZeroDivisionError / numpy shape errors."""
+    import random
+
+    from opps_feedcrawler_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        parse_wav_meta,
+    )
+
+    rng = random.Random(4)
+    bases = [
+        encode_wav(8000, 2, bytes(rng.randrange(256) for _ in range(96)), bits=16),
+        encode_wav(8000, 1, bytes(rng.randrange(256) for _ in range(64)), fmt_tag=7),
+    ]
+    for base in bases:
+        for _ in range(400):
+            mut = bytearray(base)
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+            for fn in (parse_wav_meta, decode_wav_samples):
+                try:
+                    fn(bytes(mut))
+                except (ValueError, NotImplementedError):
+                    pass
+        for cut in range(len(base)):
+            for fn in (parse_wav_meta, decode_wav_samples):
+                try:
+                    fn(base[:cut])
+                except (ValueError, NotImplementedError):
+                    pass
