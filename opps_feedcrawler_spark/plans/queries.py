@@ -4392,6 +4392,86 @@ def crawl_warc_gzip(spark, sf_dir):
 
 
 @_q(
+    "crawl_wet_extract",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id // 100 AS shard,
+             {_DOC_URL_SQL} AS url,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted
+      FROM documents
+      WHERE lang = 'en' AND text NOT LIKE '%<%' AND text NOT LIKE '%&%'),
+    s AS (
+      SELECT *, octet_length(CAST(extracted AS BLOB)) AS L FROM d),
+    r AS (
+      SELECT *,
+             135 + length(url) + length(CAST(L AS VARCHAR)) + L AS rec_len
+      FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           url,
+           '20240301000000' AS cdx_ts,
+           CAST(COALESCE(SUM(rec_len) OVER (
+                  PARTITION BY shard ORDER BY url
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset",
+           CAST(rec_len AS BIGINT) AS record_length,
+           sha256(extracted) AS digest
+    FROM r
+    """,
+)
+def crawl_wet_extract(spark, sf_dir):
+    """WET generation — the derived text format Common Crawl publishes
+    next to every WARC shard: boilerplate-strip each page, serialize the
+    extracted text as `WARC-Type: conversion` / `Content-Type: text/plain`
+    records (sources/warc.build_wet_py), pack deterministic WET shard
+    files (to_wet_sharded, one shuffle on the size-bounded shard key),
+    then CDX-index them with the type-agnostic length-driven record walk.
+    Three real stages compose: HTML wrap -> extract_text_udf (Arrow-
+    batched boilerplate stripping) -> WET serialization -> byte-offset
+    indexing. Non-circular oracle, two independent routes: the ENGINE
+    route derives every byte from the actual extractor output and the
+    actual serializer/scanner; the FORMULA route (the SQL) predicts the
+    extracted text algebraically (whitespace-collapsed source text — the
+    lossless subspace the extraction fixture is built in), then predicts
+    each record's length from the WET grammar arithmetic (135-byte
+    conversion-record skeleton + url length + content-length digit count
+    + payload bytes) and each offset as the url-ordered prefix sum within
+    its shard, digesting the payload with its own sha256. A single wrong
+    extracted byte, header byte, or boundary shifts every subsequent
+    offset and kills the hash. Scale: extraction and indexing are narrow
+    maps where the blobs live; the only shuffle is the explicit shard-key
+    repartition the deterministic shard layout requires."""
+    from datetime import datetime as _dt
+
+    from ..functions.extract import extract_text_udf
+    from ..sources.warc import cdx_index, to_wet_sharded
+
+    d = _doc_urls(spark, sf_dir).filter(
+        (F.col("lang") == "en")
+        & ~F.col("text").like("%<%")
+        & ~F.col("text").like("%&%")
+    )
+    html = F.encode(
+        F.concat(
+            F.lit(
+                "<html><head><title>boiler</title><script>x=1</script></head>"
+                "<body><nav>nav menu</nav><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><footer>foot</footer></body></html>"),
+        ),
+        "UTF-8",
+    )
+    records = d.select(
+        (F.col("doc_id") / 100).cast("long").alias("shard"),
+        "url",
+        F.lit(_dt(2024, 3, 1)).alias("warc_date"),
+        F.encode(extract_text_udf(html), "UTF-8").alias("payload"),
+    )
+    return cdx_index(to_wet_sharded(records))
+
+
+@_q(
     "crawl_url_template_mining",
     f"""
     WITH urls AS (
@@ -5831,10 +5911,12 @@ _FRONT_ORDER = [
     "crawl_url_depth_stats",
     "text_nfc_normalize",
     # round-4 additions (all oracle-paired): gzip WARC, paletted/Adam7
-    # PNG, G.711 telephony audio — new surfaces, never checked
+    # PNG, G.711 telephony audio, WET text-conversion shards — new
+    # surfaces, never checked
     "crawl_warc_gzip",
     "multimodal_png_palette",
     "multimodal_audio_g711",
+    "crawl_wet_extract",
     # rows-only entries: the oracle can't check them, so a per-round
     # clean driver run is their only driver-side evidence — re-record
     "crawl_seen_bloom",

@@ -130,6 +130,57 @@ def _parse_warc_offsets(archive: bytes | None) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# WET (WARC Encapsulated Text) — the derived text-extraction format Common
+# Crawl publishes alongside its WARC shards: the SAME ISO 28500 record
+# grammar, but each record is `WARC-Type: conversion` with a
+# `Content-Type: text/plain` payload holding the boilerplate-stripped text
+# of one page. Replay/indexing tooling is shared with WARC (the record walk
+# is type-agnostic), which is why to_wet reuses the sharded writer and
+# cdx_index unchanged.
+# ---------------------------------------------------------------------------
+
+# Fixed bytes of one WET record outside its three variable parts (url,
+# Content-Length digit count, payload): version line 10 + "WARC-Type:
+# conversion" 23 + "WARC-Target-URI: " skeleton 19 + date line 33 +
+# "Content-Type: text/plain" 26 + "Content-Length: " skeleton 18 + blank
+# line 2 + record terminator 4. The constant is load-bearing: oracle SQL
+# predicts every record offset from `WET_FIXED + len(url) + digits(L) + L`,
+# and test_warc pins it against the real serializer.
+WET_FIXED = 135
+
+
+def build_wet_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
+    """Serialize (url, warc_date, extracted-text payload) triples into one
+    WET archive: conversion-type records, text/plain content type, same
+    length-driven grammar as build_warc_py."""
+    out = bytearray()
+    for url, ts, payload in records:
+        payload = bytes(payload) if payload is not None else b""
+        out += WARC_VERSION + _CRLF
+        out += b"WARC-Type: conversion" + _CRLF
+        out += b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        out += b"WARC-Date: " + _fmt_date(ts) + _CRLF
+        out += b"Content-Type: text/plain" + _CRLF
+        out += b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
+        out += _CRLF
+        out += payload
+        out += _CRLF + _CRLF
+    return bytes(out)
+
+
+def to_wet_sharded(
+    records: DataFrame, shard_col: str = "shard", sort_col: str = "url"
+) -> DataFrame:
+    """(shard, url, warc_date, payload) -> (shard, archive, n_records)
+    where archive is a WET file: the text-conversion twin of
+    to_warc_sharded, same one-shuffle deterministic-composition contract.
+    Payloads are expected to be UTF-8 extracted text; cdx_index /
+    read_warc work on the output unchanged (the record walk is
+    type-agnostic)."""
+    return _to_sharded(records, build_wet_py, shard_col, sort_col)
+
+
+# ---------------------------------------------------------------------------
 # Gzip WARC (.warc.gz) — the actual Common-Crawl wire format: each WARC
 # record is its OWN gzip member (RFC 1952 allows member concatenation;
 # ISO 28500 Annex + the Common Crawl docs standardize record-per-member so
