@@ -254,37 +254,69 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
     "com", "org", "net", "io", "edu", "gov", "example",
     "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "github.io",
 )
+# Wildcard rules ('*.ck' -> base 'ck'): EVERY '<label>.<base>' is a public
+# suffix, so the registrable domain sits one label deeper. Exception rules
+# ('!www.ck' -> 'www.ck') carve a registrable domain back out of a
+# wildcard's shadow — PSL semantics: an exception rule always prevails,
+# and the public suffix is the rule minus its leftmost label. These two
+# defaults are publicsuffix.org's own documented example pair.
+PSL_WILDCARDS: tuple[str, ...] = ("ck",)
+PSL_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
 
 
 def registrable_domain(
-    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+    host: Column,
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES,
+    wildcards: tuple[str, ...] = PSL_WILDCARDS,
+    exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
 ) -> Column:
-    """Pay-level / registrable domain of a hostname: one label more than
-    the LONGEST matching public suffix (publicsuffix.org algorithm,
-    longest-match rule). 'a.b.example.co.uk' -> 'example.co.uk';
-    'www.example.com' -> 'example.com'; a host that IS a bare suffix or
-    matches nothing falls back to itself (the PSL's implicit '*' rule
-    degenerates to last-2-labels only when some suffix matched).
+    """Pay-level / registrable domain of a hostname per the FULL
+    publicsuffix.org algorithm: exception rules prevail, then the longest
+    matching rule (wildcard rules matching one label deeper than their
+    base), and the registrable domain is the matched public suffix plus
+    one more host label. 'a.b.example.co.uk' -> 'example.co.uk';
+    'www.example.com' -> 'example.com'; wildcard '*.ck' makes
+    'a.b.ck' -> 'a.b.ck' (suffix is 'b.ck'); exception '!www.ck' makes
+    'x.www.ck' -> 'www.ck'. A host that IS a public suffix (bare 'b.ck'
+    under '*.ck', bare 'co.uk') or matches nothing falls back to itself
+    (the PSL's implicit '*' rule degenerates to last-2-labels only when
+    some rule matched).
 
     Politeness and frontier salting by PLD instead of raw host is what
     stops a wildcard-subdomain spam farm (*.blogspot.example) from
-    multiplying its politeness quota by inventing hosts.
+    multiplying its politeness quota by inventing hosts — the wildcard
+    rule class is exactly that shape, which is why it's first-class here.
 
-    Pure JVM expressions (no UDF): for each candidate suffix length k in
-    {2-label, 1-label} we slice the last k+1 labels with slice(split())
-    and test membership against the literal suffix set; the longest
-    match wins via CASE ordering. Cost is a fixed handful of codegen'd
-    string ops per row — no shuffle, no join, no Python.
+    Pure JVM expressions (no UDF): for each rule class and label count k
+    we slice the host's last k labels with slice(split()) and test
+    membership against the literal rule set; precedence is CASE ordering
+    (exceptions, then wildcards, then explicit suffixes longest-first).
+    Cost is a fixed handful of codegen'd string ops per row — no shuffle,
+    no join, no Python. Rule sets land in the plan as literals, so a
+    production-sized PSL snapshot (~9k rules) should instead be passed as
+    a broadcast rule table; these defaults keep tests/oracles
+    deterministic.
     """
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last1 = F.element_at(labels, -1)
-    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
-    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
-    two_label = tuple(s for s in suffixes if s.count(".") == 1)
-    one_label = tuple(s for s in suffixes if "." not in s)
-    return (
-        F.when((n >= 3) & last2.isin(*two_label), last3)
-        .when((n >= 2) & last1.isin(*one_label), last2)
-        .otherwise(host)
-    )
+
+    def lastk(k: int) -> Column:
+        return F.concat_ws(".", F.slice(labels, -k, k))
+
+    expr = F.when(F.lit(False), host)
+    # exception rules: host tail == rule -> that tail IS the registrable
+    # domain (suffix = rule minus leftmost label), longest rules first
+    for k in sorted({e.count(".") + 1 for e in exceptions}, reverse=True):
+        es = tuple(e for e in exceptions if e.count(".") + 1 == k)
+        expr = expr.when((n >= k) & lastk(k).isin(*es), lastk(k))
+    # wildcard rules '*.<base>': suffix = base+1 labels, registrable =
+    # base+2 labels; a host at exactly base+1 labels IS a suffix -> falls
+    # through to the host-itself fallback
+    for k in sorted({w.count(".") + 1 for w in wildcards}, reverse=True):
+        ws = tuple(w for w in wildcards if w.count(".") + 1 == k)
+        expr = expr.when((n >= k + 2) & lastk(k).isin(*ws), lastk(k + 2))
+    # explicit suffix rules, longest first
+    for k in sorted({s.count(".") + 1 for s in suffixes}, reverse=True):
+        ss = tuple(s for s in suffixes if s.count(".") + 1 == k)
+        expr = expr.when((n >= k + 1) & lastk(k).isin(*ss), lastk(k + 1))
+    return expr.otherwise(host)

@@ -4908,45 +4908,68 @@ def crawl_adaptive_budget(spark, sf_dir):
     "crawl_host_pld",
     """
     WITH h AS (
-      SELECT CASE doc_id % 5
+      SELECT CASE doc_id % 8
                WHEN 0 THEN 'www.' || source || '.com'
                WHEN 1 THEN source || '.co.uk'
                WHEN 2 THEN 'a.b.' || source || '.github.io'
                WHEN 3 THEN source || '.internal'
-               ELSE 'sub.' || source || '.org' END AS host,
-             CASE doc_id % 5
+               WHEN 4 THEN 'sub.' || source || '.org'
+               WHEN 5 THEN CASE (doc_id // 8) % 2
+                             WHEN 0 THEN 'x.' || source || '.ck'
+                             ELSE 'a.x.' || source || '.ck' END
+               WHEN 6 THEN source || '.ck'
+               ELSE CASE (doc_id // 8) % 2
+                      WHEN 0 THEN 'www.ck'
+                      ELSE 'x.www.ck' END END AS host,
+             CASE doc_id % 8
                WHEN 0 THEN source || '.com'
                WHEN 1 THEN source || '.co.uk'
                WHEN 2 THEN source || '.github.io'
                WHEN 3 THEN source || '.internal'
-               ELSE source || '.org' END AS pld
+               WHEN 4 THEN source || '.org'
+               WHEN 5 THEN 'x.' || source || '.ck'
+               WHEN 6 THEN source || '.ck'
+               ELSE 'www.ck' END AS pld
       FROM documents)
     SELECT host, pld, COUNT(*) AS n_urls FROM h GROUP BY host, pld
     """,
 )
 def crawl_host_pld(spark, sf_dir):
-    """Registrable-domain (pay-level-domain) extraction per the
-    publicsuffix.org longest-match algorithm
-    (functions/urlnorm.registrable_domain): hosts are synthesized across
-    the structural cases — plain gTLD with a www subdomain, country
-    second-level suffix (co.uk), private-registry suffix with deep
-    subdomains (a.b.*.github.io), and an unknown TLD that must fall back
-    to the host itself. The ORACLE predicts each PLD algebraically from
-    the construction — independent of the suffix-matching code.
-    Politeness/salting by PLD instead of raw host is what stops a
-    wildcard-subdomain spam farm from multiplying its politeness quota by
-    inventing hosts. Scale: pure codegen'd string ops per row (no UDF, no
-    join); the aggregate is one narrow shuffle on (host, pld)."""
+    """Registrable-domain (pay-level-domain) extraction per the FULL
+    publicsuffix.org algorithm (functions/urlnorm.registrable_domain):
+    hosts are synthesized across every structural rule class — plain gTLD
+    with a www subdomain, country second-level suffix (co.uk),
+    private-registry suffix with deep subdomains (a.b.*.github.io), an
+    unknown TLD that must fall back to the host itself, wildcard-rule
+    hosts at two depths ('*.ck': x.<s>.ck and a.x.<s>.ck both resolve to
+    the label-deeper PLD), a host that IS a wildcard public suffix
+    (<s>.ck -> itself), and the exception rule ('!www.ck': www.ck and
+    x.www.ck both resolve to www.ck, prevailing over the wildcard). The
+    ORACLE predicts each PLD algebraically from the construction —
+    independent of the rule-matching code. Politeness/salting by PLD
+    instead of raw host is what stops a wildcard-subdomain spam farm from
+    multiplying its politeness quota by inventing hosts — the wildcard
+    rule class is exactly that shape. Scale: pure codegen'd string ops
+    per row (no UDF, no join); the aggregate is one narrow shuffle on
+    (host, pld)."""
     from ..functions.urlnorm import registrable_domain
 
     d = T(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 8
+    alt = (F.col("doc_id") / 8).cast("long") % 2
     host = (
         F.when(m == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".com")))
         .when(m == 1, F.concat(F.col("source"), F.lit(".co.uk")))
         .when(m == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".github.io")))
         .when(m == 3, F.concat(F.col("source"), F.lit(".internal")))
-        .otherwise(F.concat(F.lit("sub."), F.col("source"), F.lit(".org")))
+        .when(m == 4, F.concat(F.lit("sub."), F.col("source"), F.lit(".org")))
+        .when(
+            m == 5,
+            F.when(alt == 0, F.concat(F.lit("x."), F.col("source"), F.lit(".ck")))
+            .otherwise(F.concat(F.lit("a.x."), F.col("source"), F.lit(".ck"))),
+        )
+        .when(m == 6, F.concat(F.col("source"), F.lit(".ck")))
+        .otherwise(F.when(alt == 0, F.lit("www.ck")).otherwise(F.lit("x.www.ck")))
     )
     return (
         d.select(host.alias("host"))
@@ -5935,7 +5958,9 @@ _FRONT_ORDER = [
     # JPEG standalone-marker fix, WAV u8 centering — ADVICE r3), the
     # PNG decoder rework (palette/Adam7/sub-byte), the
     # dedup_cluster_canonical barrier fold, the WARC module refactor,
-    # and the politeness (df, unpersist) API change
+    # the politeness (df, unpersist) API change, and the PSL
+    # wildcard/exception upgrade to registrable_domain
+    "crawl_host_pld",
     "multimodal_video_meta",
     "multimodal_video_frames",
     "multimodal_jpeg_meta",
@@ -5956,11 +5981,11 @@ _FRONT_ORDER = [
     "crawl_robots_filter",
     "crawl_rss_entries",
     "crawl_extract_text",
-    "crawl_link_extract",
-    "feeds_process_capped",
     # --- 50-slot driver window ends here. Every entry below already has
     # at least one green CORRECTNESS row from rounds 1-3 and an
     # unchanged implementation.
+    "crawl_link_extract",
+    "feeds_process_capped",
     "q1_pricing_summary",
     "crawl_mime_sniff",
     "crawl_mirror_hosts",

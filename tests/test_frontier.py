@@ -132,6 +132,16 @@ class TestRegistrableDomain:
             ("example.com", "example.com"),
             ("host.internal", "host.internal"),  # unknown TLD: fallback
             ("com", "com"),  # bare suffix: fallback to itself
+            # wildcard rule '*.ck': every <label>.ck is a public suffix,
+            # so the PLD is one label deeper
+            ("a.b.ck", "a.b.ck"),
+            ("deep.a.b.ck", "a.b.ck"),
+            ("b.ck", "b.ck"),  # host IS a wildcard suffix: fallback
+            # exception rule '!www.ck' prevails over the wildcard:
+            # www.ck is registrable itself
+            ("www.ck", "www.ck"),
+            ("x.www.ck", "www.ck"),
+            ("ck", "ck"),  # bare wildcard base: fallback
         ]
         df = _df(spark, [(h,) for h, _ in hosts], "host string").withColumn(
             "pld", registrable_domain(F.col("host"))
