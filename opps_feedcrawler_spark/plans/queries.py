@@ -4472,6 +4472,83 @@ def crawl_wet_extract(spark, sf_dir):
 
 
 @_q(
+    "crawl_http_envelope",
+    """
+    SELECT doc_id,
+           CAST(CASE doc_id % 5 WHEN 3 THEN 404 WHEN 4 THEN NULL
+                ELSE 200 END AS INTEGER) AS status,
+           CASE doc_id % 5 WHEN 3 THEN 'Not Found' WHEN 4 THEN NULL
+                ELSE 'OK' END AS reason,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'text/html; charset=utf-8' END AS content_type,
+           doc_id % 5 <> 4 AS http_ok,
+           CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS body_text
+    FROM documents
+    """,
+)
+def crawl_http_envelope(spark, sf_dir):
+    """HTTP response envelope decode — the layer between a real
+    Common-Crawl WARC response record and its HTML payload
+    (sources/httpresp.py): status line + header block parse, RFC 9112
+    chunked transfer-coding removal, RFC 9110 gzip content-coding
+    removal, in that order (transport framing before representation
+    coding). Fixture arms per doc: identity framing with Content-Length,
+    chunked with a doc-varying chunk size, gzip content-encoding, a 404
+    with a reason phrase, and a torn envelope that MUST quarantine to
+    http_ok=false nulls rather than fail the stage. Non-circular check:
+    the engine route builds each envelope byte-for-byte (encoder) and
+    decodes it back (parser); the FORMULA route (the SQL) never touches
+    an envelope — it predicts status/reason/content-type/body directly
+    from the arm arithmetic and the source text, so a single mis-framed
+    chunk, misapplied coding order, or swallowed malformation flips the
+    hash. Scale: both stages are narrow mapInPandas over the blobs in
+    place — no shuffle, no blob movement, one bad record never kills a
+    100 TB stage."""
+    from ..sources.httpresp import (
+        build_http_response_py,
+        parse_http_responses,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            payloads = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                body = text.encode("utf-8")
+                arm = doc_id % 5
+                if arm == 1:
+                    p = build_http_response_py(
+                        body, mode="chunked", chunk_size=int(5 + doc_id % 11)
+                    )
+                elif arm == 2:
+                    p = build_http_response_py(body, mode="gzip")
+                elif arm == 3:
+                    p = build_http_response_py(
+                        body, status=404, reason="Not Found"
+                    )
+                elif arm == 4:
+                    p = build_http_response_py(body)[:10]  # torn envelope
+                else:
+                    p = build_http_response_py(body)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    env = d.mapInPandas(build, "doc_id bigint, payload binary")
+    parsed = parse_http_responses(env)
+    return parsed.select(
+        "doc_id",
+        "status",
+        "reason",
+        "content_type",
+        "http_ok",
+        F.decode(F.col("body"), "UTF-8").alias("body_text"),
+    )
+
+
+@_q(
     "crawl_url_template_mining",
     f"""
     WITH urls AS (
@@ -5940,6 +6017,7 @@ _FRONT_ORDER = [
     "multimodal_png_palette",
     "multimodal_audio_g711",
     "crawl_wet_extract",
+    "crawl_http_envelope",
     # rows-only entries: the oracle can't check them, so a per-round
     # clean driver run is their only driver-side evidence — re-record
     "crawl_seen_bloom",
@@ -5979,11 +6057,11 @@ _FRONT_ORDER = [
     "crawl_host_extract",
     "crawl_frontier_antijoin",
     "crawl_robots_filter",
-    "crawl_rss_entries",
     "crawl_extract_text",
     # --- 50-slot driver window ends here. Every entry below already has
     # at least one green CORRECTNESS row from rounds 1-3 and an
     # unchanged implementation.
+    "crawl_rss_entries",
     "crawl_link_extract",
     "feeds_process_capped",
     "q1_pricing_summary",

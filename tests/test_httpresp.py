@@ -1,0 +1,117 @@
+"""HTTP response envelope codec (sources/httpresp.py): RFC 9112 chunked
+framing, RFC 9110 content codings, coding order, malformation quarantine,
+and the Spark mapInPandas wrapper."""
+
+from __future__ import annotations
+
+import gzip
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opps_feedcrawler_spark.sources.httpresp import (
+    _dechunk,
+    build_http_response_py,
+    parse_http_response_py,
+    parse_http_responses,
+)
+
+BODY = "héllo wörld — payload with \r\n\r\n inside ".encode("utf-8") * 17
+
+
+def test_roundtrip_all_framings():
+    for mode in ("identity", "chunked", "gzip"):
+        r = parse_http_response_py(
+            build_http_response_py(BODY, mode=mode, chunk_size=7)
+        )
+        assert r["http_ok"] and r["status"] == 200 and r["body"] == BODY
+        assert r["content_type"] == "text/html; charset=utf-8"
+
+
+def test_status_and_reason_preserved():
+    r = parse_http_response_py(
+        build_http_response_py(BODY, status=404, reason="Not Found")
+    )
+    assert (r["status"], r["reason"]) == (404, "Not Found")
+    assert r["body"] == BODY
+
+
+def test_chunk_extension_and_trailer_tolerated():
+    env = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5;ext=1\r\nhello\r\n0\r\nX-Trailer: v\r\n\r\n"
+    )
+    r = parse_http_response_py(env)
+    assert r["http_ok"] and r["body"] == b"hello"
+
+
+def test_interop_stdlib_gzip_body():
+    """A gzip body from ANOTHER writer (stdlib gzip, header fields set)
+    must inflate too — the parser keys on the coding, not our writer."""
+    gz = gzip.compress(BODY, mtime=123)
+    env = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(gz) + gz
+    )
+    assert parse_http_response_py(env)["body"] == BODY
+
+
+def test_malformations_quarantine_not_raise():
+    cases = [
+        None,
+        b"",
+        build_http_response_py(BODY)[:10],  # torn header block
+        b"garbage\r\n\r\nxx",  # no HTTP status line
+        b"HTTP/1.1 20x OK\r\n\r\n",  # non-numeric status
+        b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort",  # short body
+        build_http_response_py(BODY, mode="chunked")[:-5],  # torn chunk
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 2\r\n\r\nxx",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Length: 4\r\n\r\nnope",  # failed inflate
+        b"HTTP/1.1 200 OK\r\nbad header line no colon\r\n\r\nbody",
+    ]
+    for payload in cases:
+        r = parse_http_response_py(payload)
+        assert r["http_ok"] is False and r["status"] is None
+        assert r["body"] is None
+
+
+def test_no_length_reads_to_end():
+    env = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + BODY
+    r = parse_http_response_py(env)
+    assert r["http_ok"] and r["body"] == BODY
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_fuzz_never_raises(blob):
+    r = parse_http_response_py(blob)
+    assert isinstance(r["http_ok"], bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300), st.integers(min_value=1, max_value=64))
+def test_chunked_roundtrip_property(body, chunk_size):
+    env = build_http_response_py(body, mode="chunked", chunk_size=chunk_size)
+    r = parse_http_response_py(env)
+    assert r["http_ok"] and r["body"] == body
+    hdr_end = env.find(b"\r\n\r\n") + 4
+    assert _dechunk(env[hdr_end:]) == body
+
+
+def test_spark_wrapper_passthrough_and_quarantine(spark):
+    rows = [
+        ("u0", build_http_response_py(b"alpha")),
+        ("u1", build_http_response_py(b"beta", mode="chunked", chunk_size=2)),
+        ("u2", build_http_response_py(b"gamma", mode="gzip")),
+        ("u3", b"torn"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r.url: r for r in parse_http_responses(df).collect()}
+    assert set(got) == {"u0", "u1", "u2", "u3"}
+    assert bytes(got["u0"].body) == b"alpha"
+    assert bytes(got["u1"].body) == b"beta"
+    assert bytes(got["u2"].body) == b"gamma"
+    assert got["u3"].http_ok is False and got["u3"].body is None
+    assert all(got[f"u{i}"].http_ok for i in range(3))
