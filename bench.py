@@ -96,10 +96,14 @@ HEADLINE_QUERIES = [
     # round-3 batch 6: dedup cluster resolution + quantization planes
     "dedup_cluster_canonical",
     "embedding_quantize_int8",
-    # round-4 additions: gzip WARC, paletted/progressive PNG, G.711 audio
+    # round-4 additions: gzip WARC, paletted/progressive PNG, G.711 audio,
+    # WET conversion shards, HTTP envelope decode, PSL wildcard/exception
     "crawl_warc_gzip",
     "multimodal_png_palette",
     "multimodal_audio_g711",
+    "crawl_wet_extract",
+    "crawl_http_envelope",
+    "crawl_host_pld",
 ]
 
 

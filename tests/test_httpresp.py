@@ -100,6 +100,44 @@ def test_chunked_roundtrip_property(body, chunk_size):
     assert _dechunk(env[hdr_end:]) == body
 
 
+def test_full_common_crawl_read_path(spark):
+    """The pipeline a user points at real CC shards, end to end: pages
+    wrapped in HTTP envelopes (mixed framings) -> WARC response records
+    -> record-per-member .warc.gz shards -> gzip member walk ->
+    length-driven record parse -> HTTP envelope decode -> original HTML
+    bytes, exactly."""
+    from datetime import datetime
+
+    from opps_feedcrawler_spark.sources.warc import (
+        read_warc_gz,
+        to_warc_gz_sharded,
+    )
+
+    modes = ["identity", "chunked", "gzip"]
+    pages = {
+        f"http://h{i}.example/p": ("<html>%d</html>" % (i * 7)).encode()
+        for i in range(9)
+    }
+    rows = [
+        (
+            i % 2,
+            url,
+            datetime(2024, 3, 1),
+            build_http_response_py(body, mode=modes[i % 3], chunk_size=3),
+        )
+        for i, (url, body) in enumerate(sorted(pages.items()))
+    ]
+    df = spark.createDataFrame(
+        rows, "shard long, url string, warc_date timestamp, payload binary"
+    )
+    records = read_warc_gz(to_warc_gz_sharded(df).select("archive"))
+    parsed = parse_http_responses(records)
+    got = {r.url: r for r in parsed.collect()}
+    assert set(got) == set(pages)
+    for url, body in pages.items():
+        assert got[url].http_ok and bytes(got[url].body) == body
+
+
 def test_spark_wrapper_passthrough_and_quarantine(spark):
     rows = [
         ("u0", build_http_response_py(b"alpha")),
