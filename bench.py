@@ -104,6 +104,7 @@ HEADLINE_QUERIES = [
     "crawl_wet_extract",
     "crawl_http_envelope",
     "crawl_host_pld",
+    "crawl_wat_extract",
 ]
 
 

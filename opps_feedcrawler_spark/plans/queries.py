@@ -4472,6 +4472,96 @@ def crawl_wet_extract(spark, sf_dir):
 
 
 @_q(
+    "crawl_wat_extract",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             doc_id // 100 AS shard,
+             {_DOC_URL_SQL} AS url,
+             'http://' || source || '.example/doc/'
+               || CAST(doc_id + 1 AS VARCHAR) AS nxt,
+             'http://' || source || '.example/rel/'
+               || CAST(doc_id AS VARCHAR) AS rel
+      FROM documents),
+    j AS (
+      SELECT *,
+             '{{"links":["' || nxt || '","' || rel || '"],"url":"'
+               || url || '"}}' AS wat
+      FROM r),
+    s AS (SELECT *, octet_length(CAST(wat AS BLOB)) AS L FROM j),
+    t AS (
+      SELECT *,
+             139 + length(url) + length(CAST(L AS VARCHAR)) + L AS rec_len
+      FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           url,
+           '20240301000000' AS cdx_ts,
+           CAST(COALESCE(SUM(rec_len) OVER (
+                  PARTITION BY shard ORDER BY url
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset",
+           CAST(rec_len AS BIGINT) AS record_length,
+           sha256(wat) AS digest
+    FROM t
+    """,
+)
+def crawl_wat_extract(spark, sf_dir):
+    """WAT generation — the third member of Common Crawl's derived-format
+    trio (WARC response shards + WET extracted text + WAT per-page JSON
+    metadata): extract each page's outlinks, assemble a canonical JSON
+    metadata object ENTIRELY JVM-side (`F.to_json` over a struct — no
+    Python in the JSON path), serialize as `WARC-Type: metadata` /
+    `Content-Type: application/json` records (sources/warc.build_wat_py),
+    pack deterministic WAT shards, CDX-index them. The link set runs
+    through the REAL extractor (extract_links_udf: absolute link,
+    relative link resolved against the page url, duplicate deduped
+    first-wins) — the same route q:crawl_link_extract verifies
+    element-wise. Non-circular oracle: the SQL rebuilds the exact JSON
+    text from the link algebra by string concatenation, then predicts
+    every record length from the WAT grammar arithmetic (139-byte
+    metadata-record skeleton + url length + content-length digit count +
+    payload bytes), offsets as url-ordered prefix sums, digest via its
+    own sha256 — one wrong link, JSON byte, or boundary kills the hash.
+    Scale: extraction and JSON assembly are narrow (one Arrow UDF, then
+    codegen'd to_json); the only shuffle is the explicit shard-key
+    repartition deterministic shard composition requires."""
+    from datetime import datetime as _dt
+
+    from ..functions.extract import extract_links_udf
+    from ..sources.warc import cdx_index, to_wat_sharded
+
+    d = _doc_urls(spark, sf_dir)
+    nxt = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example/doc/"),
+        (F.col("doc_id") + 1).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        nxt,
+        F.lit('">n</a><a href="/rel/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">r</a><a href="'),
+        nxt,
+        F.lit('">dup</a></body></html>'),
+    )
+    wat = F.to_json(
+        F.struct(
+            extract_links_udf(html, F.col("url")).alias("links"),
+            F.col("url").alias("url"),
+        )
+    )
+    records = d.select(
+        (F.col("doc_id") / 100).cast("long").alias("shard"),
+        "url",
+        F.lit(_dt(2024, 3, 1)).alias("warc_date"),
+        F.encode(wat, "UTF-8").alias("payload"),
+    )
+    return cdx_index(to_wat_sharded(records))
+
+
+@_q(
     "crawl_http_envelope",
     """
     SELECT doc_id,
@@ -6018,6 +6108,7 @@ _FRONT_ORDER = [
     "multimodal_audio_g711",
     "crawl_wet_extract",
     "crawl_http_envelope",
+    "crawl_wat_extract",
     # rows-only entries: the oracle can't check them, so a per-round
     # clean driver run is their only driver-side evidence — re-record
     "crawl_seen_bloom",
@@ -6056,11 +6147,11 @@ _FRONT_ORDER = [
     "crawl_canonicalize",
     "crawl_host_extract",
     "crawl_frontier_antijoin",
-    "crawl_robots_filter",
     "crawl_extract_text",
     # --- 50-slot driver window ends here. Every entry below already has
     # at least one green CORRECTNESS row from rounds 1-3 and an
     # unchanged implementation.
+    "crawl_robots_filter",
     "crawl_rss_entries",
     "crawl_link_extract",
     "feeds_process_capped",

@@ -149,23 +149,49 @@ def _parse_warc_offsets(archive: bytes | None) -> list[dict]:
 WET_FIXED = 135
 
 
-def build_wet_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
-    """Serialize (url, warc_date, extracted-text payload) triples into one
-    WET archive: conversion-type records, text/plain content type, same
-    length-driven grammar as build_warc_py."""
+# WAT (metadata JSON records) shares the same grammar with its own
+# type/content-type lines: "WARC-Type: metadata" is 21 bytes with CRLF
+# (vs conversion's 23) and "Content-Type: application/json" is 32 (vs
+# text/plain's 26), so the fixed skeleton is 135 - 23 - 26 + 21 + 32.
+WAT_FIXED = 139
+
+
+def _build_typed_records(
+    records: Iterable[tuple[str, datetime, bytes]],
+    warc_type: bytes,
+    content_type: bytes,
+) -> bytes:
+    """Shared serializer for derived-format records (WET conversion, WAT
+    metadata): same ISO 28500 length-driven grammar as build_warc_py plus
+    a Content-Type header."""
     out = bytearray()
     for url, ts, payload in records:
         payload = bytes(payload) if payload is not None else b""
         out += WARC_VERSION + _CRLF
-        out += b"WARC-Type: conversion" + _CRLF
+        out += b"WARC-Type: " + warc_type + _CRLF
         out += b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
         out += b"WARC-Date: " + _fmt_date(ts) + _CRLF
-        out += b"Content-Type: text/plain" + _CRLF
+        out += b"Content-Type: " + content_type + _CRLF
         out += b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
         out += _CRLF
         out += payload
         out += _CRLF + _CRLF
     return bytes(out)
+
+
+def build_wet_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
+    """Serialize (url, warc_date, extracted-text payload) triples into one
+    WET archive: conversion-type records, text/plain content type, same
+    length-driven grammar as build_warc_py."""
+    return _build_typed_records(records, b"conversion", b"text/plain")
+
+
+def build_wat_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
+    """Serialize (url, warc_date, JSON-metadata payload) triples into one
+    WAT archive: metadata-type records, application/json content type —
+    the per-page metadata sidecar format Common Crawl publishes (links,
+    headers, envelope data as JSON)."""
+    return _build_typed_records(records, b"metadata", b"application/json")
 
 
 def to_wet_sharded(
@@ -178,6 +204,16 @@ def to_wet_sharded(
     read_warc work on the output unchanged (the record walk is
     type-agnostic)."""
     return _to_sharded(records, build_wet_py, shard_col, sort_col)
+
+
+def to_wat_sharded(
+    records: DataFrame, shard_col: str = "shard", sort_col: str = "url"
+) -> DataFrame:
+    """The WAT twin of to_wet_sharded: one metadata-record archive per
+    shard key, payloads expected to be UTF-8 JSON. Same one-shuffle
+    deterministic-composition contract; cdx_index / read_warc work on
+    the output unchanged."""
+    return _to_sharded(records, build_wat_py, shard_col, sort_col)
 
 
 # ---------------------------------------------------------------------------

@@ -8,8 +8,10 @@ from __future__ import annotations
 from datetime import datetime
 
 from opps_feedcrawler_spark.sources.warc import (
+    WAT_FIXED,
     WET_FIXED,
     _parse_warc_offsets,
+    build_wat_py,
     build_wet_py,
     cdx_index,
     parse_warc_py,
@@ -57,6 +59,23 @@ def test_wet_fixed_constant_pins_grammar_arithmetic():
         assert parsed["url"] == url and parsed["payload"] == payload
         pos += rec_len
     assert pos == len(blob)
+
+
+def test_wat_golden_bytes_and_fixed_constant():
+    payload = b'{"links":["http://b/"],"url":"http://a/"}'
+    blob = build_wat_py([("http://a/", datetime(2024, 3, 1, 0, 0, 5), payload)])
+    assert blob == (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://a/\r\n"
+        b"WARC-Date: 2024-03-01T00:00:05Z\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: 41\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    assert len(blob) == WAT_FIXED + len("http://a/") + len("41") + len(payload)
+    back = parse_warc_py(blob)
+    assert back[0]["url"] == "http://a/" and back[0]["payload"] == payload
 
 
 def test_wet_parses_with_type_agnostic_walk():
