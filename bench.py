@@ -105,6 +105,7 @@ HEADLINE_QUERIES = [
     "crawl_http_envelope",
     "crawl_host_pld",
     "crawl_wat_extract",
+    "crawl_sitemap_gzip",
 ]
 
 

@@ -439,7 +439,19 @@ def parse_sitemap_py(xml: bytes | str | None) -> list[dict]:
     Entries without <loc> are skipped (loc is the protocol's only required
     field). Document order is preserved for deterministic downstream
     scheduling.
+
+    Gzipped input is transparent: sitemaps.org explicitly allows .xml.gz
+    (and large hosts ship it that way), so byte input starting with the
+    RFC 1952 magic is inflated first; a blob that LOOKS gzipped but fails
+    to inflate is not-a-sitemap ([]), matching the malformed contract.
     """
+    if isinstance(xml, (bytes, bytearray)) and xml[:2] == b"\x1f\x8b":
+        import gzip as _gzip
+
+        try:
+            xml = _gzip.decompress(bytes(xml))
+        except (OSError, EOFError):
+            return []
     doc = _decode(xml)
     if not doc:
         return []

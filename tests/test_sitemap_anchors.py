@@ -74,6 +74,24 @@ def test_sitemap_bad_priority_and_bytes_input():
     assert len(got) == 1 and got[0]["priority"] is None
 
 
+def test_sitemap_gzip_transparent_and_torn_gzip_rejected():
+    """sitemaps.org allows .xml.gz — gzipped bytes must parse exactly
+    like the plain document; a torn gzip blob is not-a-sitemap, and a
+    PLAIN document that merely begins with the two magic bytes is not
+    treated as gzip (bytes-prefix check only fires on real members)."""
+    import gzip
+
+    xml = (
+        b"<urlset><url><loc>http://a.example/1</loc>"
+        b"<lastmod>2024-03-05T00:00:00Z</lastmod></url>"
+        b"<url><loc>http://a.example/2</loc></url></urlset>"
+    )
+    assert parse_sitemap_py(gzip.compress(xml)) == parse_sitemap_py(xml)
+    assert len(parse_sitemap_py(gzip.compress(xml))) == 2
+    assert parse_sitemap_py(gzip.compress(xml)[:20]) == []  # torn member
+    assert parse_sitemap_py(b"\x1f\x8bnot really gzip") == []
+
+
 def test_anchor_pairs_order_duplicates_and_nesting():
     html = (
         '<html><body><a href="/x">Click <b>me</b> now</a>'
