@@ -106,6 +106,7 @@ HEADLINE_QUERIES = [
     "crawl_host_pld",
     "crawl_wat_extract",
     "crawl_sitemap_gzip",
+    "crawl_warc_revisit",
 ]
 
 

@@ -123,6 +123,10 @@ def _parse_warc_offsets(archive: bytes | None) -> list[dict]:
                 "content_length": length,
                 "payload": payload,
                 "offset": record_start,
+                # extra header fields typed readers need; parse_warc_py
+                # filters these out, so its contract is unchanged
+                "warc_type": fields.get("warc-type"),
+                "payload_digest": fields.get("warc-payload-digest"),
             }
         )
         pos = body_start + length + 4  # skip record terminator CRLF CRLF
@@ -184,6 +188,29 @@ def build_wet_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:
     WET archive: conversion-type records, text/plain content type, same
     length-driven grammar as build_warc_py."""
     return _build_typed_records(records, b"conversion", b"text/plain")
+
+
+def build_revisit_py(
+    records: Iterable[tuple[str, datetime, str]],
+) -> bytes:
+    """Serialize (url, warc_date, payload-digest) triples into revisit
+    records (`WARC-Type: revisit`, ISO 28500 §6.7.2 — how a recrawl
+    stores an UNCHANGED page: zero payload bytes plus a
+    `WARC-Payload-Digest` pointing at the prior capture's content).
+    This is the record type that makes incremental crawls cheap at
+    Common-Crawl scale: re-fetching 10^10 URLs where most pages didn't
+    change must not re-store most payloads."""
+    out = bytearray()
+    for url, ts, digest in records:
+        out += WARC_VERSION + _CRLF
+        out += b"WARC-Type: revisit" + _CRLF
+        out += b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        out += b"WARC-Date: " + _fmt_date(ts) + _CRLF
+        out += b"WARC-Payload-Digest: " + digest.encode("ascii") + _CRLF
+        out += b"Content-Length: 0" + _CRLF
+        out += _CRLF
+        out += _CRLF + _CRLF
+    return bytes(out)
 
 
 def build_wat_py(records: Iterable[tuple[str, datetime, bytes]]) -> bytes:

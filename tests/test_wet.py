@@ -11,6 +11,8 @@ from opps_feedcrawler_spark.sources.warc import (
     WAT_FIXED,
     WET_FIXED,
     _parse_warc_offsets,
+    build_revisit_py,
+    build_warc_py,
     build_wat_py,
     build_wet_py,
     cdx_index,
@@ -76,6 +78,36 @@ def test_wat_golden_bytes_and_fixed_constant():
     assert len(blob) == WAT_FIXED + len("http://a/") + len("41") + len(payload)
     back = parse_warc_py(blob)
     assert back[0]["url"] == "http://a/" and back[0]["payload"] == payload
+
+
+def test_revisit_golden_and_mixed_archive_walk():
+    """Revisit records (ISO 28500 §6.7.2): zero payload + payload-digest
+    header; a mixed response/revisit archive walks cleanly with types
+    and digests surfaced per record."""
+    ts = datetime(2024, 3, 2, 0, 0, 5)
+    rev = build_revisit_py([("http://a/", ts, "sha256:abc123")])
+    assert rev == (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Target-URI: http://a/\r\n"
+        b"WARC-Date: 2024-03-02T00:00:05Z\r\n"
+        b"WARC-Payload-Digest: sha256:abc123\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n"
+        b"\r\n\r\n"
+    )
+    mixed = build_warc_py([("http://b/", ts, b"new body")]) + rev
+    recs = _parse_warc_offsets(mixed)
+    assert [(r["url"], r["warc_type"], r["content_length"]) for r in recs] == [
+        ("http://b/", "response", 8),
+        ("http://a/", "revisit", 0),
+    ]
+    assert recs[0]["payload_digest"] is None
+    assert recs[1]["payload_digest"] == "sha256:abc123"
+    # the plain reader contract is unchanged by the typed fields
+    assert set(parse_warc_py(mixed)[0]) == {
+        "url", "warc_date", "content_length", "payload",
+    }
 
 
 def test_wet_parses_with_type_agnostic_walk():
