@@ -447,10 +447,13 @@ def parse_sitemap_py(xml: bytes | str | None) -> list[dict]:
     """
     if isinstance(xml, (bytes, bytearray)) and xml[:2] == b"\x1f\x8b":
         import gzip as _gzip
+        import zlib as _zlib
 
         try:
             xml = _gzip.decompress(bytes(xml))
-        except (OSError, EOFError):
+        except (OSError, EOFError, _zlib.error):
+            # zlib.error: valid gzip header over a corrupt deflate stream
+            # (not an OSError subclass) — same fails-to-inflate contract
             return []
     doc = _decode(xml)
     if not doc:

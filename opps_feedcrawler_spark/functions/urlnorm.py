@@ -309,14 +309,31 @@ def registrable_domain(
     for k in sorted({e.count(".") + 1 for e in exceptions}, reverse=True):
         es = tuple(e for e in exceptions if e.count(".") + 1 == k)
         expr = expr.when((n >= k) & lastk(k).isin(*es), lastk(k))
-    # wildcard rules '*.<base>': suffix = base+1 labels, registrable =
-    # base+2 labels; a host at exactly base+1 labels IS a suffix -> falls
-    # through to the host-itself fallback
+    # Non-exception rules: the prevailing rule is the LONGEST match across
+    # BOTH remaining classes — a wildcard '*.<base>' matches base+1 labels
+    # (its effective depth), so an explicit rule with more labels than that
+    # (e.g. 'y.x.ck' alongside '*.ck') must be tried first. Branches are
+    # merged by effective matched-label count, descending; at equal depth
+    # the two classes name the same host tail, so tie order is immaterial.
+    branches: list[tuple[int, str, tuple[str, ...]]] = []
     for k in sorted({w.count(".") + 1 for w in wildcards}, reverse=True):
         ws = tuple(w for w in wildcards if w.count(".") + 1 == k)
-        expr = expr.when((n >= k + 2) & lastk(k).isin(*ws), lastk(k + 2))
-    # explicit suffix rules, longest first
+        # wildcard '*.<base>': suffix = base+1 labels, registrable =
+        # base+2 labels; a host at exactly base+1 labels IS a suffix ->
+        # falls through to the host-itself fallback
+        branches.append((k + 1, "wild", ws))
     for k in sorted({s.count(".") + 1 for s in suffixes}, reverse=True):
         ss = tuple(s for s in suffixes if s.count(".") + 1 == k)
-        expr = expr.when((n >= k + 1) & lastk(k).isin(*ss), lastk(k + 1))
+        branches.append((k, "explicit", ss))
+    branches.sort(key=lambda t: t[0], reverse=True)
+    for eff, kind, rules in branches:
+        if kind == "wild":
+            base_k = eff - 1
+            expr = expr.when(
+                (n >= eff + 1) & lastk(base_k).isin(*rules), lastk(eff + 1)
+            )
+        else:
+            expr = expr.when(
+                (n >= eff + 1) & lastk(eff).isin(*rules), lastk(eff + 1)
+            )
     return expr.otherwise(host)

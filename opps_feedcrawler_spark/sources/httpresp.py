@@ -149,11 +149,18 @@ def parse_http_response_py(payload: bytes | None) -> dict:
         )
     body = buf[hdr_end + 4 :]
     # transfer coding first (transport framing) ...
-    if "chunked" in headers.get("transfer-encoding", "").lower():
+    te = headers.get("transfer-encoding", "").lower().strip()
+    if "chunked" in te:
         dechunked = _dechunk(body)
         if dechunked is None:
             return bad
         body = dechunked
+    elif te and te != "identity":
+        # unsupported transfer coding (e.g. 'Transfer-Encoding: gzip'):
+        # the body is still transfer-coded — quarantine rather than
+        # misread it as framed bytes, mirroring the unknown
+        # content-coding branch below
+        return bad
     elif "content-length" in headers:
         try:
             declared = int(headers["content-length"])

@@ -149,6 +149,30 @@ class TestRegistrableDomain:
         got = {r["host"]: r["pld"] for r in df.collect()}
         assert got == dict(hosts)
 
+    def test_explicit_rule_longer_than_wildcard_prevails(self, spark):
+        # PSL: the prevailing non-exception rule is the LONGEST match
+        # ACROSS rule classes. Explicit 'y.x.ck' (3 labels) must beat
+        # wildcard '*.ck' (effective 2 labels) for hosts under y.x.ck;
+        # hosts under any other <label>.ck still take the wildcard.
+        hosts = [
+            ("a.y.x.ck", "a.y.x.ck"),  # explicit suffix y.x.ck + 1 label
+            ("deep.a.y.x.ck", "a.y.x.ck"),
+            ("y.x.ck", "y.x.ck"),  # host IS the explicit suffix: fallback
+            ("a.b.ck", "a.b.ck"),  # wildcard still governs other bases
+            ("deep.a.b.ck", "a.b.ck"),
+        ]
+        df = _df(spark, [(h,) for h, _ in hosts], "host string").withColumn(
+            "pld",
+            registrable_domain(
+                F.col("host"),
+                suffixes=("com", "y.x.ck"),
+                wildcards=("ck",),
+                exceptions=("www.ck",),
+            ),
+        )
+        got = {r["host"]: r["pld"] for r in df.collect()}
+        assert got == dict(hosts)
+
 
 class TestContamination:
     def test_shingles_and_flags(self, spark):

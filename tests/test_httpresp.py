@@ -70,6 +70,11 @@ def test_malformations_quarantine_not_raise():
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
         b"Content-Length: 4\r\n\r\nnope",  # failed inflate
         b"HTTP/1.1 200 OK\r\nbad header line no colon\r\n\r\nbody",
+        # unsupported TRANSFER coding: body is still transfer-coded, so
+        # reading it via Content-Length/read-to-end would misread it
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n"
+        b"Content-Length: 4\r\n\r\nxxxx",
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: deflate\r\n\r\nbody",
     ]
     for payload in cases:
         r = parse_http_response_py(payload)

@@ -65,6 +65,19 @@ def test_sitemap_rejects_non_sitemap_documents():
     assert parse_sitemap_py(b"\x00\x01binary") == []
 
 
+def test_sitemap_gzip_corrupt_deflate_quarantines():
+    # A valid RFC 1952 header over a CORRUPT deflate stream makes
+    # gzip.decompress raise zlib.error (not an OSError subclass) — the
+    # fails-to-inflate -> [] contract must cover it too.
+    import gzip
+
+    gz = bytearray(gzip.compress(NS_URLSET.encode()))
+    gz[12] ^= 0xFF  # flip a bit inside the deflate stream, past the header
+    assert parse_sitemap_py(bytes(gz)) == []
+    # sanity: the uncorrupted blob still parses
+    assert len(parse_sitemap_py(gzip.compress(NS_URLSET.encode()))) >= 1
+
+
 def test_sitemap_bad_priority_and_bytes_input():
     xml = (
         b"<urlset><url><loc>http://a.example/1</loc>"
