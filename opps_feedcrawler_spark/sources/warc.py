@@ -492,6 +492,111 @@ CDX_GZ_SCHEMA = (
     "digest string, member_demarcated boolean"
 )
 
+FETCH_GZ_SCHEMA = (
+    "shard bigint, offset bigint, record_length bigint, fetch_ok boolean, "
+    "url string, warc_date timestamp, content_length bigint, "
+    "payload binary, warc_type string, payload_digest string"
+)
+
+
+def fetch_records_gz(archives: DataFrame, requests: DataFrame) -> DataFrame:
+    """CDX random-access record fetch (VERDICT r4 #3): given .warc.gz
+    shard blobs (shard, archive) and CDX request rows (shard, offset,
+    record_length), slice each blob at the compressed
+    [offset, offset+record_length), inflate that single gzip member
+    standalone, verify its own RFC 1952 CRC32/ISIZE trailer, and return
+    the record — the replay-tool read path (pywb's range-request fetch)
+    over record-per-member archives.
+
+    One output row per request, request identity (shard, offset,
+    record_length) always carried through. fetch_ok=false (all record
+    fields null) when the slice is not EXACTLY one whole valid member:
+    inflate fails, the trailer check fails, the member ends short of the
+    slice (trailing garbage), or the inflated bytes don't parse as a
+    WARC record. An off-by-one boundary in either direction therefore
+    cannot return bytes silently.
+
+    Plan shape / scale: requests are tiny index rows; archives are ~1 GB
+    shards. The requests side is pre-grouped per shard and BROADCAST so
+    shard blobs never cross an exchange — ship the request list to the
+    data, never the data to the request (on a real cluster this becomes
+    an HTTP range request per row; here the slice is the range request).
+    Narrow mapInPandas does the slicing where the blob lives."""
+    from pyspark.sql import functions as F
+
+    reqs = requests.groupBy("shard").agg(
+        F.collect_list(F.struct("offset", "record_length")).alias("_reqs")
+    )
+    joined = archives.select("shard", "archive").join(
+        F.broadcast(reqs), "shard"
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[dict] = []
+            for shard, blob, reqlist in zip(
+                b["shard"], b["archive"], b["_reqs"]
+            ):
+                buf = bytes(blob) if blob is not None else b""
+                for req in reqlist:
+                    off = int(req["offset"])
+                    mlen = int(req["record_length"])
+                    row = {
+                        "shard": shard,
+                        "offset": off,
+                        "record_length": mlen,
+                        "fetch_ok": False,
+                        "url": None,
+                        "warc_date": None,
+                        "content_length": None,
+                        "payload": None,
+                        "warc_type": None,
+                        "payload_digest": None,
+                    }
+                    sliced = buf[off : off + mlen]
+                    inflated = None
+                    if len(sliced) == mlen and mlen > 0:
+                        try:
+                            d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+                            out = d.decompress(sliced)
+                            if d.eof and not d.unused_data:
+                                inflated = out
+                        except zlib.error:
+                            inflated = None
+                    if inflated is not None:
+                        recs = _parse_warc_offsets(inflated)
+                        # our writer puts exactly one record per member; a
+                        # foreign member holding >1 returns the first, but
+                        # the whole member must parse (no torn tail):
+                        # the last record's header + payload + CRLF CRLF
+                        # terminator must land exactly at member end
+                        whole = False
+                        if recs:
+                            last = recs[-1]
+                            h_end = inflated.find(
+                                _CRLF + _CRLF, last["offset"]
+                            )
+                            whole = (
+                                h_end + 4 + last["content_length"] + 4
+                                == len(inflated)
+                            )
+                        if whole:
+                            r = recs[0]
+                            row.update(
+                                fetch_ok=True,
+                                url=r["url"],
+                                warc_date=r["warc_date"],
+                                content_length=r["content_length"],
+                                payload=r["payload"],
+                                warc_type=r["warc_type"],
+                                payload_digest=r["payload_digest"],
+                            )
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(fetch, FETCH_GZ_SCHEMA)
+
 
 def cdx_index_gz(archives: DataFrame) -> DataFrame:
     """(shard, .warc.gz archive) -> one CDX row per gzip member: (url,

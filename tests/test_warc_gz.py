@@ -237,3 +237,100 @@ def test_gz_walk_roundtrip_and_salvage_property(items, cut):
     assert [(r["url"], r["payload"]) for r in salvaged] == [
         (u, p) for u, _, p in recs[:want]
     ]
+
+
+def test_fetch_records_gz_roundtrip_and_boundary_failures(spark):
+    """fetch_records_gz (VERDICT r4 #3): every CDX (offset,
+    record_length) pair fetched from a to_warc_gz_sharded archive
+    returns its record byte-identically; request identity is always
+    carried through; any boundary perturbation (offset +-1, length -1,
+    length +1, zero length, corrupt byte inside the member) yields
+    fetch_ok=false with null record fields, never wrong bytes."""
+    from pyspark.sql import functions as F
+
+    from opps_feedcrawler_spark.sources.warc import fetch_records_gz
+
+    rows = [
+        (
+            i // 3,
+            f"http://h/{chr(122 - i)}",
+            datetime(2024, 3, 1),
+            bytes([i]) * (5 + i),
+        )
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "shard long, url string, warc_date timestamp, payload binary"
+    )
+    shards = to_warc_gz_sharded(df)
+    cdx = cdx_index_gz(shards)
+    good = cdx.select("shard", "offset", "record_length")
+    fetched = {
+        (r.shard, r.offset): r
+        for r in fetch_records_gz(shards, good).collect()
+    }
+    assert len(fetched) == 7
+    by_url = {u: (s, p) for s, u, _, p in rows}
+    for r in cdx.collect():
+        f = fetched[(r.shard, r.offset)]
+        assert f.fetch_ok
+        assert f.url == r.url
+        assert bytes(f.payload) == by_url[r.url][1]
+        assert f.content_length == len(by_url[r.url][1])
+        assert f.warc_type == "response"
+        assert f.record_length == r.record_length
+        assert f.warc_date == datetime(2024, 3, 1)
+
+    # perturbed requests: every one must quarantine, none may raise
+    bad = cdx.select(
+        "shard",
+        (F.col("offset") + 1).alias("offset"),
+        F.col("record_length").alias("record_length"),
+    ).union(
+        cdx.select("shard", "offset", F.col("record_length") - 1)
+    ).union(
+        cdx.select("shard", "offset", F.col("record_length") + 1)
+    ).union(
+        cdx.select("shard", "offset", F.lit(0).cast("long"))
+    )
+    got = fetch_records_gz(shards, bad).collect()
+    assert len(got) == 4 * 7
+    assert all(not r.fetch_ok and r.payload is None and r.url is None
+               for r in got)
+
+    # corrupt one byte INSIDE a member: CRC must catch it
+    arch = [
+        (r.shard, bytes(r.archive))
+        for r in shards.collect()
+    ]
+    s0, blob0 = arch[0]
+    first = cdx.filter(F.col("shard") == s0).orderBy("offset").first()
+    corrupt = bytearray(blob0)
+    corrupt[first.offset + first.record_length - 5] ^= 0xFF  # in trailer/CRC
+    cdf = spark.createDataFrame(
+        [(s0, bytes(corrupt))], "shard long, archive binary"
+    )
+    rq = spark.createDataFrame(
+        [(s0, first.offset, first.record_length)],
+        "shard long, offset long, record_length long",
+    )
+    out = fetch_records_gz(cdf, rq).collect()
+    assert len(out) == 1 and not out[0].fetch_ok
+
+
+def test_fetch_records_gz_plan_broadcasts_requests(spark):
+    """Plan shape: the request side reaches the shard blobs via a
+    BroadcastHashJoin/BroadcastNestedLoop — shard archives never cross an
+    exchange (blob plan-shape rule)."""
+    from opps_feedcrawler_spark.sources.warc import fetch_records_gz
+
+    df = spark.createDataFrame(
+        [(0, "http://h/a", datetime(2024, 3, 1), b"x")],
+        "shard long, url string, warc_date timestamp, payload binary",
+    )
+    shards = to_warc_gz_sharded(df)
+    reqs = spark.createDataFrame(
+        [(0, 0, 10)], "shard long, offset long, record_length long"
+    )
+    plan = fetch_records_gz(shards, reqs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
