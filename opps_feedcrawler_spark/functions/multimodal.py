@@ -40,7 +40,7 @@ partition-preserving mapInPandas. Codec status per format:
   trak counting) and ``encode_mp4`` a minimal exact-size BMFF writer.
 - **PNG pixels: REAL.** ``decode_png_pixels`` zlib-inflates IDAT and
   applies the full RFC 2083 unfilter set (None/Sub/Up/Average/Paeth,
-  byte-exact) for 8-bit gray/RGB/GA/RGBA; ``resize_png`` does real
+  byte-exact) for 8- and 16-bit gray/RGB/GA/RGBA; ``resize_png`` does real
   nearest-neighbor thumbnails (decode → resample → re-encode).
 - **GIF: REAL, fully** (``functions/gifcodec.py``): GIF89a block walk
   (frame counting, GCE delay summation), variable-width LSB-first LZW
@@ -94,18 +94,34 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, payload: bytes) -> bytes:
-    """REAL minimal PNG encoder (stdlib only): grayscale, 8-bit, one IDAT.
-    ``payload`` supplies the pixel bytes row-major (short payloads are
-    zero-padded); each scanline gets filter byte 0 (None). The output is a
-    spec-valid PNG — correct signature, IHDR with big-endian dimensions,
-    zlib-deflated image data, CRC-32 on every chunk — independently
-    checkable by any PNG reader."""
+def encode_png(
+    width: int,
+    height: int,
+    payload: bytes,
+    bit_depth: int = 8,
+    color_type: int = 0,
+) -> bytes:
+    """REAL minimal PNG encoder (stdlib only): truecolor/grayscale at bit
+    depth 8 or 16, one IDAT. ``payload`` supplies the sample bytes
+    row-major — for depth 16 that is TWO bytes per sample, big-endian
+    (RFC 2083 §2.3: sample values are network byte order), for color
+    types with >1 channel the channels are interleaved per pixel. Short
+    payloads are zero-padded; each scanline gets filter byte 0 (None).
+    The output is a spec-valid PNG — correct signature, IHDR with
+    big-endian dimensions, zlib-deflated image data, CRC-32 on every
+    chunk — independently checkable by any PNG reader."""
     if width <= 0 or height <= 0:
         raise ValueError("PNG dimensions must be positive")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    if bit_depth not in (8, 16):
+        raise ValueError("encode_png supports bit depth 8 or 16")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    stride = width * _PNG_CHANNELS[color_type] * (bit_depth // 8)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
     raw = b"".join(
-        b"\x00" + payload[r * width : (r + 1) * width].ljust(width, b"\x00")
+        b"\x00" + payload[r * stride : (r + 1) * stride].ljust(stride, b"\x00")
         for r in range(height)
     )
     return (
@@ -441,6 +457,11 @@ def _png_unpack_samples(arr, w: int, samples: int, bit_depth: int):
     h = arr.shape[0]
     if bit_depth == 8:
         return arr[:, : w * samples].reshape(h, w, samples)
+    if bit_depth == 16:
+        # 2-byte big-endian samples (RFC 2083 §2.3 network byte order)
+        pairs = arr[:, : w * samples * 2].reshape(h, w * samples, 2)
+        vals = (pairs[:, :, 0].astype(np.uint16) << 8) | pairs[:, :, 1]
+        return vals.reshape(h, w, samples)
     bits = np.unpackbits(arr, axis=1)[:, : w * samples * bit_depth]
     weights = 1 << np.arange(bit_depth - 1, -1, -1, dtype=np.uint16)
     vals = (
@@ -458,16 +479,21 @@ def decode_png_pixels(blob: bytes):
     and paletted (color type 3) at bit depth 1/2/4/8 resolved through
     PLTE to RGB — both progressive (Adam7, RFC 2083 §2.6: seven
     independently-filtered sub-images scattered back by pass origin and
-    stride) and non-interlaced. Returns (height, width, channels) uint8
-    ndarray. 16-bit depth raises NotImplementedError (declared);
-    malformed input raises ValueError."""
+    stride) and non-interlaced. 16-bit gray/RGB/GA/RGBA decode too:
+    2-byte big-endian samples through the same unfilter (filtering is
+    byte-wise regardless of depth; fdist = samples*2 bytes). Returns a
+    (height, width, channels) ndarray — uint8 for depths <= 8, uint16
+    for depth 16 (sample values preserved, not rescaled). Malformed
+    input raises ValueError."""
     import numpy as np
 
     meta = parse_png_meta(blob)
     bit_depth, color_type = meta["bit_depth"], meta["color_type"]
-    if bit_depth == 16:
-        raise NotImplementedError("16-bit PNGs not supported")
-    if color_type in (2, 4, 6) and bit_depth != 8:
+    if color_type in (2, 4, 6) and bit_depth not in (8, 16):
+        raise ValueError("invalid bit depth for PNG color type")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("invalid bit depth for PNG color type")
+    if color_type == 0 and bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError("invalid bit depth for PNG color type")
     interlace = blob[28]  # IHDR data byte 12 (16 + 12)
     if interlace not in (0, 1):
@@ -520,7 +546,10 @@ def decode_png_pixels(blob: bytes):
     if interlace == 0:
         mat, p = region(0, w, hgt)
     else:
-        mat = np.zeros((hgt, w, samples), dtype=np.uint8)
+        mat = np.zeros(
+            (hgt, w, samples),
+            dtype=np.uint16 if bit_depth == 16 else np.uint8,
+        )
         p = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs

@@ -57,6 +57,9 @@ PNG_PALETTE_FIXTURE_PATH = os.path.join(
 G711_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-g711-fixture-v1.parquet"
 )
+PNG16_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-png16-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -642,6 +645,66 @@ def ensure_png_palette_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return PNG_PALETTE_FIXTURE_PATH
+
+
+def png16_samples(doc_id: int, n: int) -> bytes:
+    """Fixture 16-bit sample stream: the png_payload Knuth-hash formula
+    kept mod 2^16 and serialized big-endian (RFC 2083 network byte
+    order) — shared verbatim with the DuckDB oracle."""
+    idx = np.arange(n, dtype=np.uint64)
+    return (
+        (
+            (np.uint64(doc_id) * np.uint64(2654435761)
+             + idx * np.uint64(40503))
+            % np.uint64(65536)
+        )
+        .astype(">u2")
+        .tobytes()
+    )
+
+
+def ensure_png16_fixture() -> str:
+    """Create PNG16_FIXTURE_PATH if missing; return the path. Two arms
+    by doc_id % 2 (VERDICT r4 #5): (0) 16-bit grayscale, (1) 16-bit
+    truecolor RGB — 2-byte big-endian samples through the same unfilter
+    path (fdist 2 resp. 6). Lossless subspace: the oracle recomputes
+    every sample from the generative formula."""
+    if os.path.exists(PNG16_FIXTURE_PATH):
+        return PNG16_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_png
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w, h = png_dims(doc_id)
+        color_type = 2 if doc_id % 2 else 0
+        n_samples = w * h * (3 if color_type == 2 else 1)
+        blobs.append(
+            encode_png(
+                w, h, png16_samples(doc_id, n_samples),
+                bit_depth=16, color_type=color_type,
+            )
+        )
+        ids.append(doc_id)
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "png": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(PNG16_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, PNG16_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return PNG16_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:

@@ -182,8 +182,10 @@ def _forward_filter(px: np.ndarray, filters: list[int]) -> bytes:
     return bytes(out)
 
 
-def _wrap_png(w: int, h: int, color_type: int, raw: bytes) -> bytes:
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+def _wrap_png(
+    w: int, h: int, color_type: int, raw: bytes, bit_depth: int = 8
+) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     idat = zlib.compress(raw)
     def chunk(t, d):
         return struct.pack(">I", len(d)) + t + d + struct.pack(
@@ -243,21 +245,61 @@ def test_decode_multiple_idat_chunks():
 
 
 def test_decode_rejects_unsupported():
-    with pytest.raises(NotImplementedError):  # 16-bit depth
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-        def chunk(t, d):
-            return struct.pack(">I", len(d)) + t + d + struct.pack(
-                ">I", zlib.crc32(t + d)
-            )
-        decode_png_pixels(
-            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-            + chunk(b"IEND", b"")
-        )
+    # 16-bit depth is SUPPORTED now (round 5) — a 1x1 gray16 zero sample
+    px = decode_png_pixels(_wrap_png(1, 1, 0, b"\x00\x00\x00", bit_depth=16))
+    assert px.dtype == np.uint16 and px.shape == (1, 1, 1) and px[0, 0, 0] == 0
+    # ...but 16-bit PALETTE depth is spec-invalid (RFC 2083 §4.1.1)
+    with pytest.raises(ValueError):
+        decode_png_pixels(_wrap_png(1, 1, 3, b"\x00\x00\x00", bit_depth=16))
     # paletted images are SUPPORTED now (round 4) — but one lacking its
     # mandatory PLTE chunk is malformed, not unsupported
     with pytest.raises(ValueError):
         decode_png_pixels(_wrap_png(1, 1, 3, b"\x00\x05"))
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+@pytest.mark.parametrize(
+    "filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1]]
+)
+def test_unfilter_recovers_16bit_hand_filtered(color_type, filters):
+    """16-bit arm of the hand-filter golden (VERDICT r4 #5): PNG
+    filtering is byte-wise, so the test-side filter runs over the
+    big-endian BYTE image with left-distance = channels*2; the decoder
+    must recover the uint16 samples exactly."""
+    ch = _CT_CH[color_type]
+    rng = np.random.default_rng(color_type * 131 + sum(filters))
+    px = rng.integers(0, 65536, size=(7, 5, ch), dtype=np.uint16)
+    bepx = np.frombuffer(px.astype(">u2").tobytes(), np.uint8).reshape(
+        7, 5, ch * 2
+    )
+    blob = _wrap_png(5, 7, color_type, _forward_filter(bepx, filters), 16)
+    got = decode_png_pixels(blob)
+    assert got.dtype == np.uint16 and got.shape == (7, 5, ch)
+    assert np.array_equal(got, px)
+
+
+def test_16bit_hand_built_golden_bytes():
+    # 2x2 gray16, filter 0 rows, samples spelled out by hand big-endian
+    raw = (
+        b"\x00" + bytes([0x01, 0x02, 0xFF, 0xEE])
+        + b"\x00" + bytes([0x80, 0x00, 0x00, 0xFF])
+    )
+    got = decode_png_pixels(_wrap_png(2, 2, 0, raw, bit_depth=16))
+    assert got.dtype == np.uint16
+    assert got[:, :, 0].tolist() == [[0x0102, 0xFFEE], [0x8000, 0x00FF]]
+
+
+def test_16bit_encode_decode_roundtrip():
+    from opps_feedcrawler_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(7)
+    for color_type, ch in ((0, 1), (2, 3)):
+        px = rng.integers(0, 65536, size=(9, 6, ch), dtype=np.uint16)
+        blob = encode_png(
+            6, 9, px.astype(">u2").tobytes(), bit_depth=16,
+            color_type=color_type,
+        )
+        assert np.array_equal(decode_png_pixels(blob), px)
 
 
 def test_resize_png_nearest_neighbor():
