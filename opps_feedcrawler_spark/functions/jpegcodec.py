@@ -1,30 +1,42 @@
 """REAL baseline JPEG pixel codec (stdlib + numpy only) — ITU T.81
-baseline sequential DCT, single-component (grayscale), 8-bit.
+baseline sequential DCT, grayscale AND 3-component YCbCr color, 8-bit.
 
 ``encode_jpeg_pixels`` runs the full forward pipeline: level shift →
 8x8 2-D DCT → quantization (caller-supplied or Annex K.1 table) →
 zigzag → DC-difference / AC run-length → canonical Huffman coding with
-the Annex K.3 standard luminance tables → byte-stuffed entropy segment
-inside spec-valid marker syntax. ``decode_jpeg_pixels`` is the true
+the Annex K.3 standard tables → byte-stuffed entropy segment inside
+spec-valid marker syntax. ``encode_jpeg_ycc`` is the color twin: an
+interleaved-MCU scan over Y plus caller-subsampled Cb/Cr planes (4:4:4,
+4:2:2, 4:4:0 or 4:2:0 by luma sampling factor), luma + chroma
+quantization/Huffman table pairs. ``decode_jpeg_pixels`` is the true
 inverse and trusts ONLY the stream: it reads the DQT/DHT tables carried
-in the file (not the encoder's constants), Huffman-decodes the MCUs,
-undoes the zigzag, dequantizes, applies the inverse DCT and level
-shift, and clips to uint8 — the same math libjpeg performs for baseline
-grayscale, minus the performance engineering.
+in the file (not the encoder's constants), Huffman-decodes the
+(interleaved) MCUs per the frame's sampling factors, undoes the zigzag,
+dequantizes, applies the inverse DCT and level shift, upsamples chroma
+by sample replication (libjpeg's int_upsample / -nosmooth), and
+converts YCbCr→RGB with the BT.601 16-bit FIXED-POINT arithmetic
+(constants 91881/22554/46802/116130 = round(c * 65536), +32768 bias,
+arithmetic >>16 — the exact integer pipeline libjpeg documents), so
+the color conversion is bit-deterministic and SQL-predictable. The
+same math libjpeg performs for baseline images, minus the performance
+engineering.
 
-Scope (declared): baseline sequential, one component, 8-bit precision,
-no restart markers, no progressive/arithmetic modes — the subset the
-engine's fixtures and tests exercise. Anything else raises
-NotImplementedError; malformed streams raise ValueError.
+Scope (declared): baseline sequential, 1 or 3 components, luma sampling
+factors (1,1)/(2,1)/(1,2)/(2,2) with 1x1 chroma, 8-bit precision, no
+restart markers, no progressive/arithmetic modes — the subset real
+crawled JPEGs overwhelmingly use (classic JFIF 4:2:0/4:4:4). Anything
+else raises NotImplementedError; malformed streams raise ValueError.
 
 JPEG is lossy in general, so oracle-exact queries use content in the
-codec's *lossless subspace*: images constant within each 8x8 block with
-a flat quantization table round-trip bit-exactly (the DCT of a constant
-block is DC-only and integer after scaling), while pytest covers
-arbitrary content with an error tolerance. This mirrors the PNG-pixels
-strategy: the engine route is bytes → Huffman → IDCT; the oracle route
-is the generative formula — they agree only if the real entropy decode
-finds the real coefficients.
+codec's *lossless subspace*: planes constant within each of their own
+8x8 blocks with a flat quantization table round-trip bit-exactly (the
+DCT of a constant block is DC-only and integer after scaling), and the
+fixed-point color convert is then an exact integer function of
+(Y, Cb, Cr) the oracle reproduces in SQL. pytest covers arbitrary
+content with an error tolerance. This mirrors the PNG-pixels strategy:
+the engine route is bytes → Huffman → IDCT → upsample → fixed-point
+color math; the oracle route is the generative formula — they agree
+only if the real entropy decode finds the real coefficients.
 """
 
 from __future__ import annotations
@@ -52,12 +64,31 @@ STD_LUMA_QT = np.array(
     dtype=np.int32,
 )
 
+#: Annex K.2 example chrominance quantization table, natural order.
+STD_CHROMA_QT = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
 #: Flat table — the codec's lossless subspace for block-constant content.
 FLAT_QT = np.ones(64, dtype=np.int32)
 
 # Annex K.3.1 luminance DC: BITS (codes per length 1..16) and HUFFVAL.
 DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUMA_VALS = list(range(12))
+
+# Annex K.3.2 chrominance DC.
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
 
 # Annex K.3.2 luminance AC.
 AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
@@ -84,6 +115,76 @@ AC_LUMA_VALS = [
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# Annex K.3.2 chrominance AC.
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# BT.601 YCbCr<->RGB in 16-bit fixed point — round(c * 65536) for the
+# libjpeg-documented constants, +32768 rounding bias, arithmetic >>16.
+# Integer-exact, so the lossless-subspace oracle reproduces it in SQL.
+_FIX_140200 = 91881    # Cr -> R
+_FIX_177200 = 116130   # Cb -> B
+_FIX_034414 = 22554    # Cb -> G (subtracted)
+_FIX_071414 = 46802    # Cr -> G (subtracted)
+_FIX_029900 = 19595    # R -> Y
+_FIX_058700 = 38470    # G -> Y
+_FIX_011400 = 7471     # B -> Y
+_FIX_016874 = 11059    # R -> Cb (subtracted)
+_FIX_033126 = 21709    # G -> Cb (subtracted)
+_FIX_050000 = 32768    # B -> Cb / R -> Cr
+_FIX_041869 = 27439    # G -> Cr (subtracted)
+_FIX_008131 = 5329     # B -> Cr (subtracted)
+_HALF = 32768
+
+
+def ycc_to_rgb_fixed(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """BT.601 YCbCr -> RGB, 16-bit fixed point, arithmetic-shift floor —
+    bit-deterministic (no float rounding hazards). Inputs are full-size
+    uint8/int planes; returns (H, W, 3) uint8."""
+    y = y.astype(np.int32)
+    cb = cb.astype(np.int32) - 128
+    cr = cr.astype(np.int32) - 128
+    r = y + ((_FIX_140200 * cr + _HALF) >> 16)
+    g = y - ((_FIX_034414 * cb + _FIX_071414 * cr + _HALF) >> 16)
+    b = y + ((_FIX_177200 * cb + _HALF) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def rgb_to_ycc_fixed(px: np.ndarray):
+    """BT.601 RGB -> YCbCr, 16-bit fixed point (libjpeg jccolor
+    constants). Returns three full-size uint8 planes (no subsampling)."""
+    p = px.astype(np.int32)
+    r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    y = (_FIX_029900 * r + _FIX_058700 * g + _FIX_011400 * b + _HALF) >> 16
+    cb = 128 + ((-_FIX_016874 * r - _FIX_033126 * g + _FIX_050000 * b
+                 + _HALF) >> 16)
+    cr = 128 + ((_FIX_050000 * r - _FIX_041869 * g - _FIX_008131 * b
+                 + _HALF) >> 16)
+    clip = lambda a: np.clip(a, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
 
 
 def _zigzag_order() -> np.ndarray:
@@ -165,12 +266,95 @@ def _seg(marker: int, data: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
 
 
-def encode_jpeg_pixels(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
-    """Encode an (H, W) uint8 grayscale array as a real baseline JPEG.
-    Edge blocks are padded by edge replication (the conventional choice).
-    The emitted stream carries its own DQT and DHT segments, so any
-    baseline decoder — libjpeg or this module's — reconstructs it."""
+def _check_qt(qt) -> np.ndarray:
+    qt = np.asarray(qt, dtype=np.int32)
+    if qt.shape != (64,) or qt.min() < 1 or qt.max() > 255:
+        raise ValueError("quantization table must be 64 values in 1..255")
+    return qt
+
+
+def _plane_qblocks(plane: np.ndarray, qt: np.ndarray, bh: int, bw: int):
+    """Pad a component plane to (bh*8, bw*8) by edge replication, run
+    the forward DCT + quantization on every 8x8 block, and return the
+    zigzagged coefficients as a (bh, bw, 64) int32 array."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(
+        np.float64
+    )
+    shifted = blocks - 128.0
+    coeffs = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, shifted, _DCT_M)
+    q = np.round(coeffs / qt.reshape(8, 8)).astype(np.int32)
+    return q.reshape(bh, bw, 64)[:, :, ZIGZAG]
+
+
+def _encode_block(bw_out: "_BitWriter", blk, dc_enc, ac_enc, prev_dc: int):
+    """Entropy-code one zigzagged quantized block; returns its DC (the
+    next block's predictor)."""
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    cat = _category(diff)
+    code, ln = dc_enc[cat]
+    bw_out.write(code, ln)
+    if cat:
+        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+        bw_out.write(bits, cat)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            bw_out.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_enc[(run << 4) | cat]
+        bw_out.write(code, ln)
+        bits = v if v >= 0 else v + (1 << cat) - 1
+        bw_out.write(bits, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_enc[0x00]  # EOB
+        bw_out.write(code, ln)
+    return dc
+
+
+_APP0_JFIF = (
+    b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+)
+
+
+def encode_jpeg_pixels(
+    px: np.ndarray,
+    qtable: np.ndarray | None = None,
+    sampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Encode an (H, W)/(H, W, 1) uint8 grayscale array — or an
+    (H, W, 3) uint8 RGB array — as a real baseline JPEG. RGB input is
+    converted with the fixed-point BT.601 forward transform and the
+    chroma planes box-averaged down by the luma ``sampling`` factors
+    (default (2, 2) = classic JFIF 4:2:0), then routed through
+    encode_jpeg_ycc. Edge blocks are padded by edge replication (the
+    conventional choice). The emitted stream carries its own DQT and
+    DHT segments, so any baseline decoder — libjpeg or this module's —
+    reconstructs it."""
     px = np.asarray(px)
+    if px.ndim == 3 and px.shape[2] == 3:
+        if px.dtype != np.uint8:
+            raise ValueError("expected uint8 RGB")
+        y, cb, cr = rgb_to_ycc_fixed(px)
+        sh, sv = sampling
+        return encode_jpeg_ycc(
+            y,
+            _box_subsample(cb, sh, sv),
+            _box_subsample(cr, sh, sv),
+            sampling=sampling,
+            qtable=qtable,
+        )
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
     if px.ndim != 2 or px.dtype != np.uint8:
@@ -178,54 +362,15 @@ def encode_jpeg_pixels(px: np.ndarray, qtable: np.ndarray | None = None) -> byte
     h, w = px.shape
     if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
         raise ValueError("JPEG dimensions must be in 1..65535")
-    qt = STD_LUMA_QT if qtable is None else np.asarray(qtable, dtype=np.int32)
-    if qt.shape != (64,) or qt.min() < 1 or qt.max() > 255:
-        raise ValueError("quantization table must be 64 values in 1..255")
+    qt = STD_LUMA_QT if qtable is None else _check_qt(qtable)
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    # all blocks at once: (bh, bw, 8, 8) -> DCT -> quantize
-    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
-    shifted = blocks - 128.0
-    coeffs = np.einsum("ux,bcxy,vy->bcuv", _DCT_M, shifted, _DCT_M)
-    q = np.round(coeffs / qt.reshape(8, 8)).astype(np.int32)
-    zz = q.reshape(bh * bw, 64)[:, ZIGZAG]  # zigzag per block
-
+    zz = _plane_qblocks(px, qt, bh, bw).reshape(bh * bw, 64)
     bw_out = _BitWriter()
     prev_dc = 0
     for blk in zz:
-        dc = int(blk[0])
-        diff = dc - prev_dc
-        prev_dc = dc
-        cat = _category(diff)
-        code, ln = _DC_ENC[cat]
-        bw_out.write(code, ln)
-        if cat:
-            bits = diff if diff >= 0 else diff + (1 << cat) - 1
-            bw_out.write(bits, cat)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = _AC_ENC[0xF0]  # ZRL
-                bw_out.write(code, ln)
-                run -= 16
-            cat = _category(v)
-            code, ln = _AC_ENC[(run << 4) | cat]
-            bw_out.write(code, ln)
-            bits = v if v >= 0 else v + (1 << cat) - 1
-            bw_out.write(bits, cat)
-            run = 0
-        if last < 63:
-            code, ln = _AC_ENC[0x00]  # EOB
-            bw_out.write(code, ln)
+        prev_dc = _encode_block(bw_out, blk, _DC_ENC, _AC_ENC, prev_dc)
 
-    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
     dqt = b"\x00" + bytes(int(qt[ZIGZAG[i]]) for i in range(64))
     sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dht = (
@@ -235,7 +380,121 @@ def encode_jpeg_pixels(px: np.ndarray, qtable: np.ndarray | None = None) -> byte
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     return (
         b"\xff\xd8"
-        + _seg(0xE0, app0)
+        + _seg(0xE0, _APP0_JFIF)
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof0)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bw_out.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _box_subsample(plane: np.ndarray, sh: int, sv: int) -> np.ndarray:
+    """Box-average a full-size plane down by (sh, sv) with edge-replicated
+    padding to even multiples — the conventional chroma downsample."""
+    if sh == 1 and sv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = (h + sv - 1) // sv * sv, (w + sh - 1) // sh * sh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+        np.int32
+    )
+    boxes = p.reshape(ph // sv, sv, pw // sh, sh)
+    return ((boxes.sum(axis=(1, 3)) + (sh * sv) // 2) // (sh * sv)).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg_ycc(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
+    qtable: np.ndarray | None = None,
+    qtable_chroma: np.ndarray | None = None,
+) -> bytes:
+    """Encode pre-separated YCbCr planes as a real baseline color JPEG
+    with an interleaved-MCU scan (T.81 A.2.3). ``y`` is full size
+    (H, W); ``cb``/``cr`` are ALREADY at chroma resolution
+    (ceil(H/sv), ceil(W/sh)) for luma sampling factors ``sampling`` =
+    (sh, sv) in {1,2}x{1,2} — (1,1)=4:4:4, (2,1)=4:2:2, (1,2)=4:4:0,
+    (2,2)=4:2:0. Chroma components always carry 1x1 factors. The stream
+    carries two quantization tables (luma tq=0, chroma tq=1) and the
+    four Annex K.3 Huffman tables (or the caller's), exactly like a
+    stock libjpeg file."""
+    y = np.asarray(y)
+    cb = np.asarray(cb)
+    cr = np.asarray(cr)
+    sh, sv = sampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("luma sampling factors must be 1 or 2")
+    if y.ndim != 2 or y.dtype != np.uint8:
+        raise ValueError("expected (H, W) uint8 luma plane")
+    h, w = y.shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("JPEG dimensions must be in 1..65535")
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    for p in (cb, cr):
+        if p.shape != (ch, cw) or p.dtype != np.uint8:
+            raise ValueError(
+                f"chroma planes must be uint8 ({ch}, {cw}) for "
+                f"sampling {sampling}"
+            )
+    qt_l = STD_LUMA_QT if qtable is None else _check_qt(qtable)
+    qt_c = STD_CHROMA_QT if qtable_chroma is None else _check_qt(
+        qtable_chroma
+    )
+
+    mcus_x = (w + 8 * sh - 1) // (8 * sh)
+    mcus_y = (h + 8 * sv - 1) // (8 * sv)
+    # per-component padded block grids (luma padded to full MCUs so the
+    # interleaved scan always has sh*sv luma blocks per MCU)
+    zz_y = _plane_qblocks(y, qt_l, mcus_y * sv, mcus_x * sh)
+    zz_cb = _plane_qblocks(cb, qt_c, mcus_y, mcus_x)
+    zz_cr = _plane_qblocks(cr, qt_c, mcus_y, mcus_x)
+
+    dc_l_enc, ac_l_enc = _DC_ENC, _AC_ENC
+    dc_c_enc, _ = _build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c_enc, _ = _build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    bw_out = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(sv):
+                for bx in range(sh):
+                    prev[0] = _encode_block(
+                        bw_out,
+                        zz_y[my * sv + by, mx * sh + bx],
+                        dc_l_enc,
+                        ac_l_enc,
+                        prev[0],
+                    )
+            prev[1] = _encode_block(
+                bw_out, zz_cb[my, mx], dc_c_enc, ac_c_enc, prev[1]
+            )
+            prev[2] = _encode_block(
+                bw_out, zz_cr[my, mx], dc_c_enc, ac_c_enc, prev[2]
+            )
+
+    dqt = (
+        b"\x00" + bytes(int(qt_l[ZIGZAG[i]]) for i in range(64))
+        + b"\x01" + bytes(int(qt_c[ZIGZAG[i]]) for i in range(64))
+    )
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        + b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, _APP0_JFIF)
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof0)
         + _seg(0xC4, dht)
@@ -317,9 +576,12 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG to an (H, W, 1) uint8
-    array. Trusts only the stream: quantization and Huffman tables are
-    read from the file's own DQT/DHT segments."""
+    """Decode a baseline JPEG to an (H, W, 1) uint8 array (grayscale
+    frames) or an (H, W, 3) uint8 RGB array (3-component YCbCr frames:
+    interleaved-MCU entropy decode per the frame's sampling factors,
+    chroma upsample by sample replication, fixed-point BT.601
+    YCbCr->RGB). Trusts only the stream: quantization and Huffman
+    tables are read from the file's own DQT/DHT segments."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     n = len(blob)
@@ -355,12 +617,30 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if nc != 1:
-                raise NotImplementedError("only single-component (grayscale)")
-            comp_id, sampling, tq = data[6], data[7], data[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampling on a 1-component frame")
-            frame = (h, w, comp_id, tq)
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "only 1-component (grayscale) or 3-component (YCbCr)"
+                )
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("SOF0 truncated")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                hi, vi = samp >> 4, samp & 0x0F
+                comps.append((cid, hi, vi, tq))
+            if nc == 1:
+                if (comps[0][1], comps[0][2]) != (1, 1):
+                    raise NotImplementedError(
+                        "subsampling on a 1-component frame"
+                    )
+            else:
+                if any(
+                    (c[1], c[2]) != (1, 1) for c in comps[1:]
+                ) or comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
+                    raise NotImplementedError(
+                        "unsupported sampling factors (luma 1-2, chroma 1x1)"
+                    )
+            frame = (h, w, comps)
         elif marker in (0xC1,):  # extended sequential, same entropy coding
             raise NotImplementedError("extended sequential JPEG")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -371,10 +651,15 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            td_ta = data[2]
-            scan = (td_ta >> 4, td_ta & 0x0F)
+            if ns != len(frame[2]):
+                raise NotImplementedError(
+                    "scan component count != frame component count "
+                    "(non-interleaved multi-scan)"
+                )
+            scan = []
+            for s in range(ns):
+                cs, td_ta = data[1 + 2 * s], data[2 + 2 * s]
+                scan.append((cs, td_ta >> 4, td_ta & 0x0F))
             # entropy data runs from after SOS header to the next marker
             # that is not a stuffed 0xFF00 / RST
             epos = j + 1 + seglen
@@ -391,45 +676,110 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     raise ValueError("JPEG has no scan")
 
 
-def _decode_scan(frame, scan, entropy: bytes, qtables, htables) -> np.ndarray:
-    h, w, _comp_id, tq = frame
-    td, ta = scan
-    if tq not in qtables:
-        raise ValueError("scan references missing quantization table")
-    if (0, td) not in htables or (1, ta) not in htables:
-        raise ValueError("scan references missing Huffman table")
-    qt = qtables[tq]
-    dc_dec, ac_dec = htables[(0, td)], htables[(1, ta)]
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    reader = _BitReader(entropy)
-    zz = np.zeros((bh * bw, 64), dtype=np.int32)
-    prev_dc = 0
-    for b in range(bh * bw):
-        cat = reader.read_symbol(dc_dec)
-        diff = _extend(reader.read_bits(cat), cat)
-        prev_dc += diff
-        zz[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = reader.read_symbol(ac_dec)
-            if rs == 0x00:  # EOB
-                break
-            run, cat = rs >> 4, rs & 0x0F
-            if cat == 0:
-                if run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index overruns block")
-            zz[b, k] = _extend(reader.read_bits(cat), cat)
-            k += 1
+def _decode_block(reader: "_BitReader", dc_dec, ac_dec, prev_dc: int):
+    """Entropy-decode one block; returns (64-long zigzag int32 row, dc)."""
+    row = np.zeros(64, dtype=np.int32)
+    cat = reader.read_symbol(dc_dec)
+    diff = _extend(reader.read_bits(cat), cat)
+    dc = prev_dc + diff
+    row[0] = dc
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(ac_dec)
+        if rs == 0x00:  # EOB
+            break
+        run, cat = rs >> 4, rs & 0x0F
+        if cat == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overruns block")
+        row[k] = _extend(reader.read_bits(cat), cat)
+        k += 1
+    return row, dc
+
+
+def _blocks_to_plane(zz: np.ndarray, qt: np.ndarray, bh: int, bw: int):
+    """(bh*bw, 64) zigzag blocks -> (bh*8, bw*8) uint8 spatial plane:
+    un-zigzag, dequantize, inverse DCT, level shift, clip."""
     nat = np.zeros_like(zz)
     nat[:, ZIGZAG] = zz  # undo zigzag
     coeffs = (nat * qt).reshape(bh, bw, 8, 8).astype(np.float64)
     # inverse DCT: B = M.T @ C @ M
     spatial = np.einsum("xu,bcuv,vy->bcxy", _DCT_M.T, coeffs, _DCT_M.T.T)
     px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
-    full = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return full[:h, :w].reshape(h, w, 1)
+    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _decode_scan(frame, scan, entropy: bytes, qtables, htables) -> np.ndarray:
+    h, w, comps = frame
+    # map scan selectors onto frame components by component id
+    by_id = {cid: (idx, hi, vi, tq) for idx, (cid, hi, vi, tq) in
+             enumerate(comps)}
+    order: list[tuple[int, int, int, int, dict, dict, np.ndarray]] = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan selects a component absent from SOF")
+        idx, hi, vi, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError("scan references missing quantization table")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("scan references missing Huffman table")
+        order.append(
+            (idx, hi, vi, tq, htables[(0, td)], htables[(1, ta)],
+             qtables[tq])
+        )
+    if [o[0] for o in order] != list(range(len(comps))):
+        raise ValueError("scan component order must match the frame")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    reader = _BitReader(entropy)
+
+    if len(comps) == 1:
+        _idx, _hi, _vi, _tq, dc_dec, ac_dec, qt = order[0]
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        zz = np.empty((bh * bw, 64), dtype=np.int32)
+        prev_dc = 0
+        for b in range(bh * bw):
+            zz[b], prev_dc = _decode_block(reader, dc_dec, ac_dec, prev_dc)
+        full = _blocks_to_plane(zz, qt, bh, bw)
+        return full[:h, :w].reshape(h, w, 1)
+
+    # interleaved 3-component scan (T.81 A.2.3): per MCU, hi*vi luma
+    # blocks raster-order, then one block of each chroma component
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for idx, hi, vi, tq, dc_dec, ac_dec, qt in order:
+        grids.append(
+            np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        )
+    prev = [0] * len(order)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (idx, hi, vi, tq, dc_dec, ac_dec, qt) in enumerate(
+                order
+            ):
+                for by in range(vi):
+                    for bx in range(hi):
+                        row, prev[ci] = _decode_block(
+                            reader, dc_dec, ac_dec, prev[ci]
+                        )
+                        grids[ci][my * vi + by, mx * hi + bx] = row
+    planes = []
+    for ci, (idx, hi, vi, tq, dc_dec, ac_dec, qt) in enumerate(order):
+        gbh, gbw = mcus_y * vi, mcus_x * hi
+        plane = _blocks_to_plane(
+            grids[ci].reshape(gbh * gbw, 64), qt, gbh, gbw
+        )
+        # upsample by sample replication (libjpeg int_upsample), then
+        # crop to frame size
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w])
+    return ycc_to_rgb_fixed(planes[0], planes[1], planes[2])

@@ -2908,6 +2908,7 @@ from ..sources.fixtures import (
     G711_FIXTURE_PATH,
     GIF_ANIM_FIXTURE_PATH,
     GIF_FIXTURE_PATH,
+    JPEG_COLOR_FIXTURE_PATH,
     JPEG_FIXTURE_PATH,
     JPEG_PX_FIXTURE_PATH,
     MP3_FIXTURE_PATH,
@@ -3202,6 +3203,89 @@ def multimodal_jpeg_pixels(spark, sf_dir):
     return image_pixel_stats(joined, "url", "blob")
 
 
+# Oracle-side mirror of the color-JPEG fixture formulas + the decoder's
+# 16-bit fixed-point BT.601 math (jpegcodec.ycc_to_rgb_fixed): the >>16
+# arithmetic shift is floor division, expressed as floor(x / 65536.0)
+# (exact — the dividend is far below 2^53 and /2^16 is a pure exponent
+# change in IEEE doubles).
+_JC_Y = (
+    "((doc_id * 2654435761 + (((i // w) // 8) * (w // 8)"
+    " + ((i % w) // 8)) * 40503) % 256)"
+)
+_JC_CIDX = (
+    "(CASE WHEN arm = 1 THEN ((i // w) // 16) * ((w + 15) // 16)"
+    " + ((i % w) // 16)"
+    " ELSE ((i // w) // 8) * (w // 8) + ((i % w) // 8) END)"
+)
+_JC_CB = f"((doc_id * 2654435761 + {_JC_CIDX} * 48271 + 7) % 256)"
+_JC_CR = f"((doc_id * 2654435761 + {_JC_CIDX} * 69621 + 13) % 256)"
+_JC_R = (
+    f"GREATEST(0, LEAST(255, {_JC_Y} + CAST(floor((91881 * ({_JC_CR}"
+    f" - 128) + 32768) / 65536.0) AS BIGINT)))"
+)
+_JC_G = (
+    f"GREATEST(0, LEAST(255, {_JC_Y} - CAST(floor((22554 * ({_JC_CB}"
+    f" - 128) + 46802 * ({_JC_CR} - 128) + 32768) / 65536.0) AS BIGINT)))"
+)
+_JC_B = (
+    f"GREATEST(0, LEAST(255, {_JC_Y} + CAST(floor((116130 * ({_JC_CB}"
+    f" - 128) + 32768) / 65536.0) AS BIGINT)))"
+)
+
+
+@_q(
+    "multimodal_jpeg_color",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 6) AS w,
+             8 * (1 + (doc_id * 3) % 4) AS h,
+             doc_id % 2 AS arm
+      FROM read_parquet('{JPEG_COLOR_FIXTURE_PATH}')),
+    v AS (
+      SELECT doc_id, w, h,
+             flatten(list_transform(range(0, w * h),
+                     i -> [{_JC_R}, {_JC_G}, {_JC_B}])) AS vals
+      FROM p)
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(len(vals) AS BIGINT) AS n_px,
+           CAST(list_sum(vals) AS BIGINT) AS sum_px,
+           CAST(list_min(vals) AS INT) AS min_px,
+           CAST(list_max(vals) AS INT) AS max_px
+    FROM v JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_jpeg_color(spark, sf_dir):
+    """COLOR baseline JPEG decode (VERDICT r4 #1 — every real crawled
+    JPEG is color): 3-component YCbCr frames with an interleaved-MCU
+    scan, both classic shapes per doc arm — 4:4:4 and 4:2:0 (2x2 luma
+    sampling, chroma at quarter resolution, upsampled by sample
+    replication) — through the REAL jpegcodec pipeline: stream-carried
+    DQT/DHT pairs (luma + chroma tables), per-component DC prediction,
+    Huffman entropy decode, dequant, inverse DCT, then the 16-bit
+    FIXED-POINT BT.601 YCbCr->RGB (constants 91881/22554/46802/116130,
+    +32768 bias, arithmetic >>16) so the color math is integer-exact.
+    Non-circular lossless-subspace oracle: each plane is constant within
+    its own 8x8 blocks with flat quantization tables, so Spark's route
+    is real bytes -> entropy decode -> IDCT -> upsample -> fixed-point
+    color; the SQL recomputes every RGB sample from the generative
+    per-plane formulas plus the SAME documented integer arithmetic
+    (floor(x/65536.0) = the arithmetic shift) and reduces in exact
+    BIGINT. A mis-ordered MCU, a chroma table applied to luma, a wrong
+    upsample origin, or one fixed-point constant off kills the hash.
+    Blob rule holds: mapInPandas, blobs never shuffle; metadata side
+    broadcast."""
+    from ..functions.multimodal import image_pixel_stats
+    from ..sources.fixtures import ensure_jpeg_color_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    jp = spark.read.parquet(ensure_jpeg_color_fixture())
+    joined = jp.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("jpeg").alias("blob")
+    )
+    return image_pixel_stats(joined, "url", "blob")
 
 
 @_q(
@@ -6554,38 +6638,31 @@ def embedding_quantize_int8(spark, sf_dir):
 
 _FRONT_ORDER = [
     # ------------------------------------------------------------------
-    # Round-4 window (VERDICT r3 "Next round" #1): the 15 entries that
-    # have NEVER had a driver CORRECTNESS row lead; with them green,
-    # every entry in the registry has been driver-checked at least once.
-    # Registry growth is FROZEN at the current count until that holds —
-    # the two round-4 additions below fit the free-slot budget.
+    # Round-5 window (VERDICT r4 #7's budget rule: new + changed must
+    # fit the 50-slot window, updated in the same commits that add
+    # them). 146/146 cumulative coverage held at r4; this window keeps
+    # it: 4 new entries, 8 implementation-changed, 12 rows-only
+    # (per-round evidence), and 26 rotation slots for the relational
+    # pack whose last green rows date to rounds 1-2.
     # ------------------------------------------------------------------
-    "multimodal_gif_meta",
-    "crawl_sitemap_index",
-    "crawl_robots_parse",
-    "dedup_exact_paragraphs",
-    "text_inverted_index",
-    "crawl_snapshot_diff",
-    "sample_stratified_fixed",
-    "text_length_histogram",
-    "text_bpe_encode",
-    "events_funnel_conversion",
-    "orders_retention_cohort",
-    "text_quality_gate_by_lang",
-    "text_bigram_topk",
-    "crawl_url_depth_stats",
-    "text_nfc_normalize",
-    # round-4 additions (all oracle-paired): gzip WARC, paletted/Adam7
-    # PNG, G.711 telephony audio, WET text-conversion shards — new
-    # surfaces, never checked
-    "crawl_warc_gzip",
+    # new round-5 entries (all oracle-paired): color-JPEG pixel decode,
+    # 16-bit PNG, CDX random-access fetch, foreign-WARC interop
+    "multimodal_jpeg_color",
+    "multimodal_png16",
+    "crawl_cdx_fetch",
+    "crawl_warc_foreign",
+    # implementation changed since last green row: jpegcodec decoder
+    # rework (color scan path), PNG 16-bit depth threading, sitemap
+    # zlib.error quarantine, PSL cross-class rule ordering, HTTP
+    # transfer-coding quarantine
+    "multimodal_jpeg_pixels",
+    "multimodal_png_pixels",
     "multimodal_png_palette",
-    "multimodal_audio_g711",
-    "crawl_wet_extract",
-    "crawl_http_envelope",
-    "crawl_wat_extract",
+    "crawl_sitemap_entries",
     "crawl_sitemap_gzip",
-    "crawl_warc_revisit",
+    "crawl_sitemap_index",
+    "crawl_host_pld",
+    "crawl_http_envelope",
     # rows-only entries: the oracle can't check them, so a per-round
     # clean driver run is their only driver-side evidence — re-record
     "crawl_seen_bloom",
@@ -6599,33 +6676,39 @@ _FRONT_ORDER = [
     "multimodal_feature_ann",
     "crawl_recrawl_ttl",
     "approx_distinct_parts",
-    # entries whose implementation changed since their last green row:
-    # media-codec hardening (MP4 table bounds + quarantine widening,
-    # JPEG standalone-marker fix, WAV u8 centering — ADVICE r3), the
-    # PNG decoder rework (palette/Adam7/sub-byte), the
-    # dedup_cluster_canonical barrier fold, the WARC module refactor,
-    # the politeness (df, unpersist) API change, and the PSL
-    # wildcard/exception upgrade to registrable_domain
-    "crawl_host_pld",
-    "multimodal_video_meta",
-    "multimodal_video_frames",
-    "multimodal_jpeg_meta",
-    "multimodal_jpeg_pixels",
-    "multimodal_audio_meta",
-    "multimodal_audio_waveform",
-    "multimodal_png_pixels",
-    "dedup_cluster_canonical",
-    "warc_roundtrip",
-    "crawl_warc_cdx",
-    "crawl_politeness_topk",
-    "crawl_fetch_join",
-    # crawl-plane core representatives fill the remaining slots
-    "crawl_seed_ingest",
-    "crawl_canonicalize",
-    "crawl_extract_text",
-    # --- 50-slot driver window ends here. Every entry below already has
-    # at least one green CORRECTNESS row from rounds 1-3 and an
-    # unchanged implementation.
+    "text_bpe_encode",
+    # oldest-first rotation: relational entries whose last green rows
+    # are from rounds 1-2 (implementations unchanged since)
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "distinct_agg_segments",
+    "distinct_flag_pairs",
+    "rollup_region_nation",
+    "cube_order_status",
+    "grouping_sets_orders",
+    "window_lag_user_events",
+    "window_running_total",
+    "window_ntile_dense_rank",
+    "window_first_last_range",
+    "having_big_segments",
+    "array_hof_embeddings",
+    "percentile_exact_prices",
+    "string_funcs_part",
+    "datetime_funcs_orders",
+    "math_funcs_lineitem",
+    "array_funcs_embeddings",
+    "map_funcs_orders",
+    "conditional_acctbal_buckets",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "pivot_priority_status",
+    "scalar_subquery_above_avg",
+    # --- 50-slot driver window ends here. Every entry below (and every
+    # registered entry not listed, which _apply_registration_order
+    # appends after the list) already has at least one green
+    # CORRECTNESS row from rounds 1-4 and an unchanged implementation.
     "crawl_host_extract",
     "crawl_frontier_antijoin",
     "crawl_robots_filter",

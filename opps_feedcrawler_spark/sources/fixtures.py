@@ -60,6 +60,9 @@ G711_FIXTURE_PATH = os.path.join(
 PNG16_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-png16-fixture-v1.parquet"
 )
+JPEG_COLOR_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-jpeg-color-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -661,6 +664,78 @@ def png16_samples(doc_id: int, n: int) -> bytes:
         .astype(">u2")
         .tobytes()
     )
+
+
+def jpeg_color_planes(doc_id: int):
+    """Fixture YCbCr planes for one color JPEG (VERDICT r4 #1), all in
+    the codec's lossless subspace: whole-block luma dims, each plane
+    constant within its OWN 8x8 blocks, values from per-plane Knuth-hash
+    formulas (strides 40503 / 48271 / 69621, offsets 0 / 7 / 13) shared
+    verbatim with the DuckDB oracle. Arm = doc_id % 2: 0 -> 4:4:4,
+    1 -> 4:2:0 (chroma planes at half resolution). Returns
+    (Y, Cb, Cr, sampling)."""
+    w, h = 8 * (1 + doc_id % 6), 8 * (1 + (doc_id * 3) % 4)
+    arm = doc_id % 2
+    K = np.uint64(2654435761)
+
+    def blocks(nby: int, nbx: int, stride: int, off: int) -> np.ndarray:
+        idx = np.arange(nby * nbx, dtype=np.uint64)
+        vals = (np.uint64(doc_id) * K + idx * np.uint64(stride)
+                + np.uint64(off)) % np.uint64(256)
+        return vals.astype(np.uint8).reshape(nby, nbx)
+
+    nby, nbx = h // 8, w // 8
+    Y = blocks(nby, nbx, 40503, 0).repeat(8, 0).repeat(8, 1)
+    if arm == 1:
+        ch, cw = h // 2, w // 2
+        cby, cbx = (ch + 7) // 8, (cw + 7) // 8
+        sampling = (2, 2)
+    else:
+        ch, cw, cby, cbx = h, w, nby, nbx
+        sampling = (1, 1)
+    CB = blocks(cby, cbx, 48271, 7).repeat(8, 0).repeat(8, 1)[:ch, :cw]
+    CR = blocks(cby, cbx, 69621, 13).repeat(8, 0).repeat(8, 1)[:ch, :cw]
+    return Y, CB, CR, sampling
+
+
+def ensure_jpeg_color_fixture() -> str:
+    """Create JPEG_COLOR_FIXTURE_PATH if missing; return the path. Real
+    baseline COLOR JPEGs (interleaved-MCU YCbCr scan, two DQTs, four
+    DHTs) with flat quantization tables so the decode is bit-exact."""
+    if os.path.exists(JPEG_COLOR_FIXTURE_PATH):
+        return JPEG_COLOR_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.jpegcodec import FLAT_QT, encode_jpeg_ycc
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        Y, CB, CR, sampling = jpeg_color_planes(doc_id)
+        blobs.append(
+            encode_jpeg_ycc(
+                Y, CB, CR, sampling=sampling,
+                qtable=FLAT_QT, qtable_chroma=FLAT_QT,
+            )
+        )
+        ids.append(doc_id)
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "jpeg": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(JPEG_COLOR_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, JPEG_COLOR_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return JPEG_COLOR_FIXTURE_PATH
 
 
 def ensure_png16_fixture() -> str:
