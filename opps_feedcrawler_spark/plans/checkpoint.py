@@ -34,10 +34,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotLog:
-    def __init__(self, warehouse: str) -> None:
+    def __init__(self, warehouse: str, codec: str | None = None) -> None:
         self.warehouse = warehouse
         self.snap_dir = os.path.join(warehouse, "snapshots")
         self.data_dir = os.path.join(warehouse, "data")
+        # Snapshot-sink compression (VERDICT r4 #6 bytes-per-URL): the
+        # `text` table is 94% of all engine-written bytes at the bench
+        # profile (measured: 1,064 of 1,128 MB over 3 rounds), and zstd
+        # beats snappy by ~31% on extracted text at negligible
+        # distributed CPU (the decompress rides per-core CPU, which
+        # scales; the byte volume rides the shared memory bus / network,
+        # which doesn't). Same tradeoff already measured for the blob
+        # warehouse in bench.py. Codec is part of the warehouse config,
+        # not per-write, so compaction rewrites match the deltas.
+        self.codec = codec or os.environ.get("OFS_SNAPSHOT_CODEC", "zstd")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -54,7 +64,9 @@ class SnapshotLog:
         import pyarrow.parquet as pq
 
         path = self.table_path(round_no, name)
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").option("compression", self.codec).parquet(
+            path
+        )
         files = []
         total_rows = 0
         for fn in sorted(os.listdir(path)):
@@ -140,6 +152,7 @@ class SnapshotLog:
             spark.read.parquet(*paths)
             .repartition(partitions, "url_norm")
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .parquet(out)
         )
         doc = {"upto": upto_round, "path": out}
