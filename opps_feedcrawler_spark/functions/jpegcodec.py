@@ -22,10 +22,12 @@ same math libjpeg performs for baseline images, minus the performance
 engineering.
 
 Scope (declared): baseline sequential, 1 or 3 components, luma sampling
-factors (1,1)/(2,1)/(1,2)/(2,2) with 1x1 chroma, 8-bit precision, no
-restart markers, no progressive/arithmetic modes — the subset real
-crawled JPEGs overwhelmingly use (classic JFIF 4:2:0/4:4:4). Anything
-else raises NotImplementedError; malformed streams raise ValueError.
+factors (1,1)/(2,1)/(1,2)/(2,2) with 1x1 chroma, 8-bit precision,
+restart intervals (DRI/RSTn with per-ECS DC reset and modulo-8 marker
+validation — camera and wasm encoders emit these routinely), no
+progressive/arithmetic modes — the subset real crawled JPEGs
+overwhelmingly use (classic JFIF 4:2:0/4:4:4). Anything else raises
+NotImplementedError; malformed streams raise ValueError.
 
 JPEG is lossy in general, so oracle-exact queries use content in the
 codec's *lossless subspace*: planes constant within each of their own
@@ -261,6 +263,16 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-fill) and emit RSTn (E.1.4) — n cycles 0..7.
+        The pad goes through write(), so a pad byte that lands on 0xFF
+        is stuffed like any other entropy byte; the marker itself is
+        emitted raw (markers are never stuffed)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 def _seg(marker: int, data: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
@@ -332,6 +344,7 @@ def encode_jpeg_pixels(
     px: np.ndarray,
     qtable: np.ndarray | None = None,
     sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W)/(H, W, 1) uint8 grayscale array — or an
     (H, W, 3) uint8 RGB array — as a real baseline JPEG. RGB input is
@@ -354,6 +367,7 @@ def encode_jpeg_pixels(
             _box_subsample(cr, sh, sv),
             sampling=sampling,
             qtable=qtable,
+            restart_interval=restart_interval,
         )
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -368,7 +382,11 @@ def encode_jpeg_pixels(
     zz = _plane_qblocks(px, qt, bh, bw).reshape(bh * bw, 64)
     bw_out = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    ri = int(restart_interval)
+    for m, blk in enumerate(zz):
+        if ri and m and m % ri == 0:
+            bw_out.restart(m // ri - 1)
+            prev_dc = 0  # E.1.4: DC prediction resets at every restart
         prev_dc = _encode_block(bw_out, blk, _DC_ENC, _AC_ENC, prev_dc)
 
     dqt = b"\x00" + bytes(int(qt[ZIGZAG[i]]) for i in range(64))
@@ -378,12 +396,14 @@ def encode_jpeg_pixels(
         + b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = _seg(0xDD, struct.pack(">H", ri)) if ri else b""
     return (
         b"\xff\xd8"
         + _seg(0xE0, _APP0_JFIF)
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof0)
         + _seg(0xC4, dht)
+        + dri
         + _seg(0xDA, sos)
         + bw_out.flush()
         + b"\xff\xd9"
@@ -413,6 +433,7 @@ def encode_jpeg_ycc(
     sampling: tuple[int, int] = (2, 2),
     qtable: np.ndarray | None = None,
     qtable_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode pre-separated YCbCr planes as a real baseline color JPEG
     with an interleaved-MCU scan (T.81 A.2.3). ``y`` is full size
@@ -460,8 +481,13 @@ def encode_jpeg_ycc(
 
     bw_out = _BitWriter()
     prev = [0, 0, 0]
+    ri = int(restart_interval)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            m = my * mcus_x + mx
+            if ri and m and m % ri == 0:
+                bw_out.restart(m // ri - 1)
+                prev = [0, 0, 0]  # E.1.4: all DC predictors reset
             for by in range(sv):
                 for bx in range(sh):
                     prev[0] = _encode_block(
@@ -492,12 +518,14 @@ def encode_jpeg_ycc(
         + b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = _seg(0xDD, struct.pack(">H", ri)) if ri else b""
     return (
         b"\xff\xd8"
         + _seg(0xE0, _APP0_JFIF)
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof0)
         + _seg(0xC4, dht)
+        + dri
         + _seg(0xDA, sos)
         + bw_out.flush()
         + b"\xff\xd9"
@@ -590,6 +618,7 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while i + 2 <= n:
         if blob[i] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {i}")
@@ -646,7 +675,9 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            if len(data) < 2:
+                raise ValueError("DRI segment truncated")
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -671,7 +702,9 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                     break
                 eend += 1
             entropy = blob[epos:eend]
-            return _decode_scan(frame, scan, entropy, qtables, htables)
+            return _decode_scan(
+                frame, scan, entropy, qtables, htables, restart_interval
+            )
         i = j + 1 + seglen
     raise ValueError("JPEG has no scan")
 
@@ -714,7 +747,35 @@ def _blocks_to_plane(zz: np.ndarray, qt: np.ndarray, bh: int, bw: int):
     return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 
-def _decode_scan(frame, scan, entropy: bytes, qtables, htables) -> np.ndarray:
+def _split_ecs(entropy: bytes, ri: int, n_mcus: int) -> list[bytes]:
+    """Split a scan's entropy bytes into ECS chunks at the RSTn markers
+    (T.81 E.1.4) and validate both the chunk count and the modulo-8
+    marker cycle. Stuffed 0xFF00 bytes never match the marker pattern,
+    so data bytes are untouched. Each chunk is bit-read independently
+    (restart markers are byte-aligned by definition) with all DC
+    predictors reset — which is the entire point of restarts: they
+    bound error propagation and make parallel/streaming decode legal."""
+    if not ri:
+        return [entropy]
+    import re
+
+    parts = re.split(b"(\xff[\xd0-\xd7])", entropy)
+    chunks, markers = parts[0::2], parts[1::2]
+    expected = (n_mcus + ri - 1) // ri
+    if len(chunks) != expected:
+        raise ValueError(
+            f"scan has {len(chunks)} ECS chunks, expected {expected} "
+            f"for {n_mcus} MCUs at restart interval {ri}"
+        )
+    for k, m in enumerate(markers):
+        if m[1] != 0xD0 + (k & 7):
+            raise ValueError("restart marker out of modulo-8 sequence")
+    return chunks
+
+
+def _decode_scan(
+    frame, scan, entropy: bytes, qtables, htables, restart_interval: int = 0
+) -> np.ndarray:
     h, w, comps = frame
     # map scan selectors onto frame components by component id
     by_id = {cid: (idx, hi, vi, tq) for idx, (cid, hi, vi, tq) in
@@ -737,14 +798,20 @@ def _decode_scan(frame, scan, entropy: bytes, qtables, htables) -> np.ndarray:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    reader = _BitReader(entropy)
+    ri = int(restart_interval)
 
     if len(comps) == 1:
         _idx, _hi, _vi, _tq, dc_dec, ac_dec, qt = order[0]
         bh, bw = (h + 7) // 8, (w + 7) // 8
+        # non-interleaved single-component scan: MCU = one block (A.2.2)
+        chunks = _split_ecs(entropy, ri, bh * bw)
+        reader = _BitReader(chunks[0])
         zz = np.empty((bh * bw, 64), dtype=np.int32)
         prev_dc = 0
         for b in range(bh * bw):
+            if ri and b and b % ri == 0:
+                reader = _BitReader(chunks[b // ri])
+                prev_dc = 0
             zz[b], prev_dc = _decode_block(reader, dc_dec, ac_dec, prev_dc)
         full = _blocks_to_plane(zz, qt, bh, bw)
         return full[:h, :w].reshape(h, w, 1)
@@ -758,9 +825,15 @@ def _decode_scan(frame, scan, entropy: bytes, qtables, htables) -> np.ndarray:
         grids.append(
             np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
         )
+    chunks = _split_ecs(entropy, ri, mcus_y * mcus_x)
+    reader = _BitReader(chunks[0])
     prev = [0] * len(order)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            m = my * mcus_x + mx
+            if ri and m and m % ri == 0:
+                reader = _BitReader(chunks[m // ri])
+                prev = [0] * len(order)
             for ci, (idx, hi, vi, tq, dc_dec, ac_dec, qt) in enumerate(
                 order
             ):

@@ -3275,8 +3275,11 @@ def multimodal_jpeg_color(spark, sf_dir):
     (floor(x/65536.0) = the arithmetic shift) and reduces in exact
     BIGINT. A mis-ordered MCU, a chroma table applied to luma, a wrong
     upsample origin, or one fixed-point constant off kills the hash.
-    Blob rule holds: mapInPandas, blobs never shuffle; metadata side
-    broadcast."""
+    Every third doc carries a DRI restart interval (RSTn markers with
+    per-ECS DC resets) — restarts alter only the byte stream, so those
+    arms share the same formulas while the decode walks real restart
+    markers. Blob rule holds: mapInPandas, blobs never shuffle;
+    metadata side broadcast."""
     from ..functions.multimodal import image_pixel_stats
     from ..sources.fixtures import ensure_jpeg_color_fixture
 

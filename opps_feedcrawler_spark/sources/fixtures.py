@@ -61,7 +61,7 @@ PNG16_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-png16-fixture-v1.parquet"
 )
 JPEG_COLOR_FIXTURE_PATH = os.path.join(
-    tempfile.gettempdir(), "ofs-jpeg-color-fixture-v1.parquet"
+    tempfile.gettempdir(), "ofs-jpeg-color-fixture-v2.parquet"
 )
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
@@ -701,7 +701,13 @@ def jpeg_color_planes(doc_id: int):
 def ensure_jpeg_color_fixture() -> str:
     """Create JPEG_COLOR_FIXTURE_PATH if missing; return the path. Real
     baseline COLOR JPEGs (interleaved-MCU YCbCr scan, two DQTs, four
-    DHTs) with flat quantization tables so the decode is bit-exact."""
+    DHTs) with flat quantization tables so the decode is bit-exact.
+    Every third doc additionally carries a DRI restart interval of 2
+    MCUs (RSTn markers + per-ECS DC predictor resets, T.81 E.1.4 — the
+    shape camera/wasm encoders emit): restarts change only the byte
+    stream, never the decoded pixels, so the oracle formulas are shared
+    with the non-restart arms while the Spark route must walk real
+    restart markers."""
     if os.path.exists(JPEG_COLOR_FIXTURE_PATH):
         return JPEG_COLOR_FIXTURE_PATH
 
@@ -718,6 +724,7 @@ def ensure_jpeg_color_fixture() -> str:
             encode_jpeg_ycc(
                 Y, CB, CR, sampling=sampling,
                 qtable=FLAT_QT, qtable_chroma=FLAT_QT,
+                restart_interval=2 if doc_id % 3 == 0 else 0,
             )
         )
         ids.append(doc_id)

@@ -399,10 +399,14 @@ def test_color_decoder_rejects_unsupported():
     patched2[sof + 2 + 2 + 6 + 4] = 0x22   # Cb 2x2
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(patched2))
-    # restart interval declared
+    # restart interval declared on a multi-MCU scan that carries no RSTn
+    # markers: the ECS chunk count can't match -> malformed, ValueError
+    # (restart intervals themselves are supported — see the tests below)
+    gray = encode_jpeg_pixels(np.zeros((8, 32), dtype=np.uint8), FLAT_QT)
+    gsof = gray.index(b"\xff\xc0")
     dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(blob[:sof] + dri + blob[sof:])
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(gray[:gsof] + dri + gray[gsof:])
     # truncated entropy segment -> ValueError, never a silent wrong image
     with pytest.raises(ValueError):
         decode_jpeg_pixels(blob[:-12] + b"\xff\xd9")
@@ -431,3 +435,71 @@ def test_image_pixel_stats_routes_color_jpeg(spark):
     assert (r.width, r.height, r.n_px) == (8, 8, 192)
     assert r.sum_px == int(exp.sum())
     assert (r.min_px, r.max_px) == (int(exp.min()), int(exp.max()))
+
+
+# ---------------------------------------------------------------------------
+# Restart intervals (DRI/RSTn, T.81 E.1.4) — real camera/wasm encoders emit
+# these routinely; previously a declared NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def test_restart_interval_grayscale_roundtrip_exact():
+    rng = np.random.default_rng(23)
+    blocks = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))  # 15 MCUs
+    blob = encode_jpeg_pixels(img, FLAT_QT, restart_interval=2)
+    # DRI segment present with the declared interval
+    i = blob.index(b"\xff\xdd")
+    assert struct.unpack(">H", blob[i + 4 : i + 6])[0] == 2
+    # 15 MCUs at Ri=2 -> 8 ECS chunks -> 7 restart markers, cycle D0..D6
+    markers = [blob[j + 1] for j in range(i, len(blob) - 1)
+               if blob[j] == 0xFF and 0xD0 <= blob[j + 1] <= 0xD7]
+    assert markers == [0xD0 + (k % 8) for k in range(7)]
+    out = decode_jpeg_pixels(blob)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+@pytest.mark.parametrize("sampling,ri", [((1, 1), 1), ((2, 2), 3)])
+def test_restart_interval_color_roundtrip_exact(sampling, ri):
+    rng = np.random.default_rng(31 + ri)
+    h, w = 8 * 2 * sampling[1], 8 * 3 * sampling[0]
+    y, cb, cr = _block_planes(rng, h, w, sampling)
+    blob = encode_jpeg_ycc(
+        y, cb, cr, sampling=sampling, qtable=FLAT_QT, qtable_chroma=FLAT_QT,
+        restart_interval=ri,
+    )
+    assert b"\xff\xdd" in blob
+    out = decode_jpeg_pixels(blob)
+    assert np.array_equal(out, _expected_rgb(y, cb, cr, sampling))
+
+
+def test_restart_interval_dc_reset_is_load_bearing():
+    """Two constant blocks far apart in value: with Ri=1 the second
+    block's DC is coded ABSOLUTE (predictor reset), so a decoder that
+    failed to reset predictors would reconstruct the wrong value."""
+    img = np.kron(
+        np.array([[250, 5]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    blob = encode_jpeg_pixels(img, FLAT_QT, restart_interval=1)
+    assert np.array_equal(decode_jpeg_pixels(blob)[:, :, 0], img)
+
+
+def test_restart_marker_sequence_validated():
+    img = np.kron(
+        np.arange(6, dtype=np.uint8).reshape(1, 6) * 40,
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    blob = bytearray(encode_jpeg_pixels(img, FLAT_QT, restart_interval=2))
+    # corrupt the first restart marker's modulo index (D0 -> D5)
+    for j in range(len(blob) - 1):
+        if blob[j] == 0xFF and blob[j + 1] == 0xD0:
+            blob[j + 1] = 0xD5
+            break
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(blob))
+    # DRI declared but no markers in the scan -> chunk-count mismatch
+    clean = encode_jpeg_pixels(img, FLAT_QT)
+    i = clean.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(clean[:i] + dri + clean[i:])
