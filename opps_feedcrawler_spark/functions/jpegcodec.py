@@ -21,13 +21,15 @@ the color conversion is bit-deterministic and SQL-predictable. The
 same math libjpeg performs for baseline images, minus the performance
 engineering.
 
-Scope (declared): baseline sequential, 1 or 3 components, luma sampling
+Scope (declared): baseline sequential AND progressive (SOF2: spectral
+selection + successive approximation with EOB runs, T.81 Annex G —
+the layout web optimizers emit), 1 or 3 components, luma sampling
 factors (1,1)/(2,1)/(1,2)/(2,2) with 1x1 chroma, 8-bit precision,
 restart intervals (DRI/RSTn with per-ECS DC reset and modulo-8 marker
-validation — camera and wasm encoders emit these routinely), no
-progressive/arithmetic modes — the subset real crawled JPEGs
-overwhelmingly use (classic JFIF 4:2:0/4:4:4). Anything else raises
-NotImplementedError; malformed streams raise ValueError.
+validation — camera and wasm encoders emit these routinely). Out of
+scope: arithmetic coding, lossless/hierarchical modes, 12-bit
+precision — these raise NotImplementedError; malformed streams raise
+ValueError.
 
 JPEG is lossy in general, so oracle-exact queries use content in the
 codec's *lossless subspace*: planes constant within each of their own
@@ -603,13 +605,47 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
+def _parse_sof(data: bytes):
+    """Shared SOF frame-header parse + supported-shape validation;
+    returns (h, w, comps) with comps = [(cid, hi, vi, tq), ...]."""
+    prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+    if prec != 8:
+        raise NotImplementedError("only 8-bit precision")
+    if nc not in (1, 3):
+        raise NotImplementedError(
+            "only 1-component (grayscale) or 3-component (YCbCr)"
+        )
+    if len(data) < 6 + 3 * nc:
+        raise ValueError("SOF truncated")
+    comps = []
+    for c in range(nc):
+        cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+        hi, vi = samp >> 4, samp & 0x0F
+        comps.append((cid, hi, vi, tq))
+    if nc == 1:
+        if (comps[0][1], comps[0][2]) != (1, 1):
+            raise NotImplementedError("subsampling on a 1-component frame")
+    else:
+        if any(
+            (c[1], c[2]) != (1, 1) for c in comps[1:]
+        ) or comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
+            raise NotImplementedError(
+                "unsupported sampling factors (luma 1-2, chroma 1x1)"
+            )
+    return (h, w, comps)
+
+
 def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (H, W, 1) uint8 array (grayscale
-    frames) or an (H, W, 3) uint8 RGB array (3-component YCbCr frames:
-    interleaved-MCU entropy decode per the frame's sampling factors,
-    chroma upsample by sample replication, fixed-point BT.601
-    YCbCr->RGB). Trusts only the stream: quantization and Huffman
-    tables are read from the file's own DQT/DHT segments."""
+    """Decode a baseline OR progressive JPEG to an (H, W, 1) uint8 array
+    (grayscale frames) or an (H, W, 3) uint8 RGB array (3-component
+    YCbCr frames: interleaved-MCU entropy decode per the frame's
+    sampling factors, chroma upsample by sample replication, fixed-point
+    BT.601 YCbCr->RGB). Progressive (SOF2) streams accumulate DCT
+    coefficients across their scans — spectral selection bands,
+    successive-approximation initial + refinement passes, EOB runs
+    (T.81 Annex G) — and reconstruct once at EOI. Trusts only the
+    stream: quantization and Huffman tables are read from the file's own
+    DQT/DHT segments."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     n = len(blob)
@@ -619,6 +655,8 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
     frame = None
     scan = None
     restart_interval = 0
+    progressive = False
+    prog: "_ProgressiveState | None" = None
     while i + 2 <= n:
         if blob[i] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {i}")
@@ -643,36 +681,14 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
         elif marker == 0xC4:
             _parse_dht(data, htables)
         elif marker == 0xC0:
-            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
-            if nc not in (1, 3):
-                raise NotImplementedError(
-                    "only 1-component (grayscale) or 3-component (YCbCr)"
-                )
-            if len(data) < 6 + 3 * nc:
-                raise ValueError("SOF0 truncated")
-            comps = []
-            for c in range(nc):
-                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
-                hi, vi = samp >> 4, samp & 0x0F
-                comps.append((cid, hi, vi, tq))
-            if nc == 1:
-                if (comps[0][1], comps[0][2]) != (1, 1):
-                    raise NotImplementedError(
-                        "subsampling on a 1-component frame"
-                    )
-            else:
-                if any(
-                    (c[1], c[2]) != (1, 1) for c in comps[1:]
-                ) or comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
-                    raise NotImplementedError(
-                        "unsupported sampling factors (luma 1-2, chroma 1x1)"
-                    )
-            frame = (h, w, comps)
+            frame = _parse_sof(data)
+        elif marker == 0xC2:  # progressive DCT, Huffman coding
+            frame = _parse_sof(data)
+            progressive = True
+            prog = _ProgressiveState(frame)
         elif marker in (0xC1,):  # extended sequential, same entropy coding
             raise NotImplementedError("extended sequential JPEG")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDD:
             if len(data) < 2:
@@ -682,15 +698,13 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "scan component count != frame component count "
-                    "(non-interleaved multi-scan)"
-                )
+            if len(data) < 1 + 2 * ns + 3:
+                raise ValueError("SOS header truncated")
             scan = []
             for s in range(ns):
                 cs, td_ta = data[1 + 2 * s], data[2 + 2 * s]
                 scan.append((cs, td_ta >> 4, td_ta & 0x0F))
+            ss, se, ah_al = data[1 + 2 * ns : 4 + 2 * ns]
             # entropy data runs from after SOS header to the next marker
             # that is not a stuffed 0xFF00 / RST
             epos = j + 1 + seglen
@@ -702,10 +716,24 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
                     break
                 eend += 1
             entropy = blob[epos:eend]
-            return _decode_scan(
-                frame, scan, entropy, qtables, htables, restart_interval
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "scan component count != frame component count "
+                        "(non-interleaved multi-scan)"
+                    )
+                return _decode_scan(
+                    frame, scan, entropy, qtables, htables, restart_interval
+                )
+            prog.decode_scan(
+                scan, ss, se, ah_al >> 4, ah_al & 0x0F, entropy, htables,
+                restart_interval,
             )
+            i = eend
+            continue
         i = j + 1 + seglen
+    if progressive and prog is not None and prog.scans_seen:
+        return prog.reconstruct(qtables)
     raise ValueError("JPEG has no scan")
 
 
@@ -856,3 +884,534 @@ def _decode_scan(
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         planes.append(plane[:h, :w])
     return ycc_to_rgb_fixed(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (SOF2): T.81 Annex G — spectral selection + successive
+# approximation. Scans accumulate into per-component zigzag coefficient
+# grids; reconstruction (dequant + IDCT + upsample + fixed-point color
+# convert) happens ONCE at EOI through the same _blocks_to_plane /
+# ycc_to_rgb_fixed pipeline as baseline, so a progressive and a baseline
+# encoding of the SAME quantized coefficients decode to IDENTICAL pixels —
+# which is exactly what the cross-mode equivalence tests assert. The
+# refinement algorithms follow the spec text (G.1.2.1-G.1.2.3: DC bit
+# append, AC newly-significant + correction bits, EOB runs) as also
+# documented publicly in libjpeg's jdphuff/jcphuff notes.
+# ---------------------------------------------------------------------------
+
+
+class _ProgressiveState:
+    """Per-frame coefficient accumulator for a progressive decode."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef: list[np.ndarray] = []
+        self.nb: list[tuple[int, int]] = []  # non-interleaved block dims
+        for cid, hi, vi, tq in comps:
+            gbh, gbw = self.mcus_y * vi, self.mcus_x * hi
+            self.coef.append(np.zeros((gbh, gbw, 64), dtype=np.int32))
+            comp_w = (w * hi + self.hmax - 1) // self.hmax
+            comp_h = (h * vi + self.vmax - 1) // self.vmax
+            self.nb.append(((comp_h + 7) // 8, (comp_w + 7) // 8))
+        self.by_id = {cid: idx for idx, (cid, _, _, _) in enumerate(comps)}
+        self.scans_seen = 0
+
+    def decode_scan(
+        self, scan, ss, se, ah, al, entropy, htables, restart_interval
+    ):
+        comps = self.frame[2]
+        sel = []
+        for cs, td, ta in scan:
+            if cs not in self.by_id:
+                raise ValueError("scan selects a component absent from SOF")
+            sel.append((self.by_id[cs], td, ta))
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se = 0 (G.1.1.1)")
+            if ah == 0:
+                self._dc_initial(sel, al, entropy, htables, restart_interval)
+            else:
+                self._dc_refine(sel, al, entropy, restart_interval)
+        else:
+            if len(sel) != 1:
+                raise ValueError("AC progressive scans carry one component")
+            if not (ss <= se <= 63):
+                raise ValueError("invalid spectral band")
+            ci, _td, ta = sel[0]
+            if (1, ta) not in htables:
+                raise ValueError("scan references missing Huffman table")
+            ac_dec = htables[(1, ta)]
+            if ah == 0:
+                self._ac_initial(
+                    ci, ss, se, al, entropy, ac_dec, restart_interval
+                )
+            else:
+                self._ac_refine(
+                    ci, ss, se, al, entropy, ac_dec, restart_interval
+                )
+        self.scans_seen += 1
+
+    # -- DC scans -----------------------------------------------------------
+
+    def _dc_units(self, sel):
+        """Yield per-restart-unit lists of (ci, gy, gx) block coords: MCU
+        interleaved when the scan has >1 component, the component's own
+        raster otherwise (A.2.2/A.2.3)."""
+        comps = self.frame[2]
+        if len(sel) > 1:
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    unit = []
+                    for ci, _td, _ta in sel:
+                        _cid, hi, vi, _tq = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                unit.append(
+                                    (ci, my * vi + by, mx * hi + bx)
+                                )
+                    yield unit
+        else:
+            ci = sel[0][0]
+            nbh, nbw = self.nb[ci]
+            for gy in range(nbh):
+                for gx in range(nbw):
+                    yield [(ci, gy, gx)]
+
+    def _n_units(self, sel):
+        if len(sel) > 1:
+            return self.mcus_y * self.mcus_x
+        nbh, nbw = self.nb[sel[0][0]]
+        return nbh * nbw
+
+    def _dc_initial(self, sel, al, entropy, htables, ri):
+        decs = {}
+        for ci, td, _ta in sel:
+            if (0, td) not in htables:
+                raise ValueError("scan references missing Huffman table")
+            decs[ci] = htables[(0, td)]
+        chunks = _split_ecs(entropy, ri, self._n_units(sel))
+        reader = _BitReader(chunks[0])
+        pred = [0] * len(self.coef)
+        for u, unit in enumerate(self._dc_units(sel)):
+            if ri and u and u % ri == 0:
+                reader = _BitReader(chunks[u // ri])
+                pred = [0] * len(self.coef)
+            for ci, gy, gx in unit:
+                cat = reader.read_symbol(decs[ci])
+                pred[ci] += _extend(reader.read_bits(cat), cat)
+                self.coef[ci][gy, gx, 0] = pred[ci] << al
+
+    def _dc_refine(self, sel, al, entropy, ri):
+        # one appended magnitude bit per block — no Huffman table needed
+        chunks = _split_ecs(entropy, ri, self._n_units(sel))
+        reader = _BitReader(chunks[0])
+        for u, unit in enumerate(self._dc_units(sel)):
+            if ri and u and u % ri == 0:
+                reader = _BitReader(chunks[u // ri])
+            for ci, gy, gx in unit:
+                if reader.read_bit():
+                    self.coef[ci][gy, gx, 0] |= 1 << al
+
+    # -- AC scans -----------------------------------------------------------
+
+    def _ac_initial(self, ci, ss, se, al, entropy, ac_dec, ri):
+        nbh, nbw = self.nb[ci]
+        chunks = _split_ecs(entropy, ri, nbh * nbw)
+        reader = _BitReader(chunks[0])
+        eobrun = 0
+        grid = self.coef[ci]
+        for b in range(nbh * nbw):
+            if ri and b and b % ri == 0:
+                reader = _BitReader(chunks[b // ri])
+                eobrun = 0
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            row = grid[b // nbw, b % nbw]
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(ac_dec)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: this block + 2^r-1 more
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient overruns the band")
+                row[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+
+    def _ac_refine(self, ci, ss, se, al, entropy, ac_dec, ri):
+        nbh, nbw = self.nb[ci]
+        chunks = _split_ecs(entropy, ri, nbh * nbw)
+        reader = _BitReader(chunks[0])
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        grid = self.coef[ci]
+
+        def correct(row, k):
+            """Append a correction bit to an already-nonzero coefficient
+            (G.1.2.3: move it one step away from zero if the bit is 1
+            and that magnitude bit is not already set)."""
+            if reader.read_bit():
+                c = int(row[k])
+                if (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+
+        for b in range(nbh * nbw):
+            if ri and b and b % ri == 0:
+                reader = _BitReader(chunks[b // ri])
+                eobrun = 0
+            row = grid[b // nbw, b % nbw]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_symbol(ac_dec)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # ZRL: pass 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan codes magnitudes > 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if row[k] != 0:
+                            correct(row, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "AC coefficient overruns the band"
+                            )
+                        row[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if row[k] != 0:
+                        correct(row, k)
+                    k += 1
+                eobrun -= 1
+
+    # -- reconstruction ------------------------------------------------------
+
+    def reconstruct(self, qtables) -> np.ndarray:
+        h, w, comps = self.frame
+        planes = []
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            if tq not in qtables:
+                raise ValueError("frame references missing quantization table")
+            gbh, gbw = self.mcus_y * vi, self.mcus_x * hi
+            plane = _blocks_to_plane(
+                self.coef[ci].reshape(gbh * gbw, 64), qtables[tq], gbh, gbw
+            )
+            ry, rx = self.vmax // vi, self.hmax // hi
+            if ry > 1 or rx > 1:
+                plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+            planes.append(plane[:h, :w])
+        if len(planes) == 1:
+            return planes[0].reshape(h, w, 1)
+        return ycc_to_rgb_fixed(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — enough to build real multi-scan fixtures exercising
+# all four scan types (DC/AC x initial/refinement), EOB runs and spectral
+# bands. Annex K.3's AC tables cannot encode EOBn symbols for n > 0 (they
+# only carry S=0 for EOB and ZRL), so progressive AC scans use a flat
+# 9-bit canonical table covering every symbol a progressive AC scan can
+# emit: (R,S) for S=1..10, EOBn for R=0..14, and ZRL — 176 symbols, all
+# length 9 (canonical assignment stays clear of the reserved all-ones
+# code). The decoder reads it from the stream's DHT like any other table.
+# ---------------------------------------------------------------------------
+
+_PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]  # EOB / EOBn run-length symbols
+    + [0xF0]  # ZRL
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+class _ProgScanWriter:
+    """Bit emission for one progressive AC scan: EOBRUN accumulation and
+    the refinement pass's buffered correction bits (the jcphuff
+    discipline: correction bits buffer until the next Huffman symbol or
+    EOB flush, preserving decoder bit order)."""
+
+    def __init__(self, bw_out: "_BitWriter", ac_enc):
+        self.bw = bw_out
+        self.ac = ac_enc
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def symbol(self, rs: int) -> None:
+        code, ln = self.ac[rs]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.symbol(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+    def emit_pending(self) -> None:
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+
+def encode_jpeg_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    sampling: tuple[int, int] = (2, 2),
+    qtable: np.ndarray | None = None,
+    qtable_chroma: np.ndarray | None = None,
+) -> bytes:
+    """Encode a real progressive (SOF2) JPEG with the classic scan
+    script shape: an Al=1 DC first approximation, per-component
+    spectral-selection AC first passes, then DC and AC refinement scans
+    down to Al=0 — successive approximation + spectral selection, the
+    layout web optimizers emit. Grayscale when cb/cr are None; color
+    takes pre-subsampled chroma planes like encode_jpeg_ycc. Quantized
+    coefficients are identical to the baseline encoder's (_plane_qblocks),
+    so progressive and baseline encodings of the same planes decode to
+    identical pixels."""
+    y = np.asarray(y)
+    if y.ndim != 2 or y.dtype != np.uint8:
+        raise ValueError("expected (H, W) uint8 luma plane")
+    h, w = y.shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError("JPEG dimensions must be in 1..65535")
+    qt_l = STD_LUMA_QT if qtable is None else _check_qt(qtable)
+    color = cb is not None
+    if color:
+        sh, sv = sampling
+        if sh not in (1, 2) or sv not in (1, 2):
+            raise ValueError("luma sampling factors must be 1 or 2")
+        qt_c = STD_CHROMA_QT if qtable_chroma is None else _check_qt(
+            qtable_chroma
+        )
+        ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+        for p in (cb, cr):
+            if p.shape != (ch, cw) or p.dtype != np.uint8:
+                raise ValueError(
+                    f"chroma planes must be uint8 ({ch}, {cw}) for "
+                    f"sampling {sampling}"
+                )
+    else:
+        sh = sv = 1
+
+    mcus_x = (w + 8 * sh - 1) // (8 * sh)
+    mcus_y = (h + 8 * sv - 1) // (8 * sv)
+    # (coef_grid, (nbh, nbw), hi, vi, tq) per component; grids MCU-padded
+    comps = [
+        (
+            _plane_qblocks(y, qt_l, mcus_y * sv, mcus_x * sh),
+            ((h + 7) // 8, (w + 7) // 8),
+            sh, sv, 0,
+        )
+    ]
+    if color:
+        for p in (cb, cr):
+            comps.append(
+                (
+                    _plane_qblocks(p, qt_c, mcus_y, mcus_x),
+                    ((ch + 7) // 8, (cw + 7) // 8),
+                    1, 1, 1,
+                )
+            )
+
+    dc_encs = [_DC_ENC] + (
+        [_build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)[0]] * 2
+        if color else []
+    )
+    ac_enc, _ = _build_huffman(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    if color:
+        script = [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((2,), 1, 63, 0, 1),
+            ((1,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 1, 0),
+            ((1,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+
+    def dc_units(members):
+        if len(members) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for ci in members:
+                        _g, _nb, hi, vi, _tq = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                unit.append((ci, my * vi + by, mx * hi + bx))
+                    yield unit
+        else:
+            ci = members[0]
+            nbh, nbw = comps[ci][1]
+            for gy in range(nbh):
+                for gx in range(nbw):
+                    yield [(ci, gy, gx)]
+
+    scans = []
+    for members, ss, se, ah, al, in script:
+        bw_out = _BitWriter()
+        if ss == 0 and ah == 0:  # DC initial
+            pred = [0] * len(comps)
+            for unit in dc_units(list(members)):
+                for ci, gy, gx in unit:
+                    v = int(comps[ci][0][gy, gx, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    cat = _category(diff)
+                    code, ln = dc_encs[ci][cat]
+                    bw_out.write(code, ln)
+                    if cat:
+                        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+                        bw_out.write(bits, cat)
+        elif ss == 0:  # DC refinement
+            for unit in dc_units(list(members)):
+                for ci, gy, gx in unit:
+                    bw_out.write((int(comps[ci][0][gy, gx, 0]) >> al) & 1, 1)
+        elif ah == 0:  # AC initial (one component)
+            ci = members[0]
+            grid, (nbh, nbw), _hi, _vi, _tq = comps[ci]
+            sw = _ProgScanWriter(bw_out, ac_enc)
+            for b in range(nbh * nbw):
+                row = grid[b // nbw, b % nbw]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(row[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    sw.flush_eobrun()
+                    while r > 15:
+                        sw.symbol(0xF0)
+                        r -= 16
+                    s = _category(t)
+                    sw.symbol((r << 4) | s)
+                    bits = t if t >= 0 else t + (1 << s) - 1
+                    bw_out.write(bits, s)
+                    r = 0
+                if r > 0:
+                    sw.eobrun += 1
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+            sw.flush_eobrun()
+        else:  # AC refinement (one component) — jcphuff discipline
+            ci = members[0]
+            grid, (nbh, nbw), _hi, _vi, _tq = comps[ci]
+            sw = _ProgScanWriter(bw_out, ac_enc)
+            for b in range(nbh * nbw):
+                row = grid[b // nbw, b % nbw]
+                absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # index AFTER the last newly-significant coef
+                for idx, t in enumerate(absv):
+                    if t == 1:
+                        eob = idx + 1
+                r = 0
+                block_bits: list[int] = []
+                for idx, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and idx < eob:
+                        sw.flush_eobrun()
+                        sw.symbol(0xF0)
+                        r -= 16
+                        sw.pending.extend(block_bits)
+                        sw.emit_pending()
+                        block_bits = []
+                    if t > 1:  # history-nonzero: correction bit
+                        block_bits.append(t & 1)
+                        continue
+                    sw.flush_eobrun()
+                    sw.symbol((r << 4) | 1)
+                    bw_out.write(1 if int(row[ss + idx]) >= 0 else 0, 1)
+                    for bit in block_bits:
+                        bw_out.write(bit, 1)
+                    block_bits = []
+                    r = 0
+                if r > 0 or block_bits:
+                    sw.eobrun += 1
+                    sw.pending.extend(block_bits)
+                    if sw.eobrun == 0x7FFF or len(sw.pending) > 930:
+                        sw.flush_eobrun()
+            sw.flush_eobrun()
+        scans.append((members, ss, se, ah, al, bw_out.flush()))
+
+    # -- marker syntax ------------------------------------------------------
+    dqt = b"\x00" + bytes(int(qt_l[ZIGZAG[i]]) for i in range(64))
+    if color:
+        dqt += b"\x01" + bytes(int(qt_c[ZIGZAG[i]]) for i in range(64))
+    nc = 3 if color else 1
+    sof2 = struct.pack(">BHHB", 8, h, w, nc) + bytes([1, (sh << 4) | sv, 0])
+    if color:
+        sof2 += bytes([2, 0x11, 1, 3, 0x11, 1])
+    dht = (
+        b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    if color:
+        dht += b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+    out = (
+        b"\xff\xd8"
+        + _seg(0xE0, _APP0_JFIF)
+        + _seg(0xDB, dqt)
+        + _seg(0xC2, sof2)
+        + _seg(0xC4, dht)
+    )
+    for members, ss, se, ah, al, entropy in scans:
+        sos = bytes([len(members)])
+        for ci in members:
+            cid = ci + 1
+            td = 0 if ci == 0 else 1
+            sos += bytes([cid, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos) + entropy
+    return out + b"\xff\xd9"

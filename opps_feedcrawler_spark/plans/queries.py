@@ -3275,11 +3275,13 @@ def multimodal_jpeg_color(spark, sf_dir):
     (floor(x/65536.0) = the arithmetic shift) and reduces in exact
     BIGINT. A mis-ordered MCU, a chroma table applied to luma, a wrong
     upsample origin, or one fixed-point constant off kills the hash.
-    Every third doc carries a DRI restart interval (RSTn markers with
-    per-ECS DC resets) — restarts alter only the byte stream, so those
-    arms share the same formulas while the decode walks real restart
-    markers. Blob rule holds: mapInPandas, blobs never shuffle;
-    metadata side broadcast."""
+    Every fifth doc is PROGRESSIVE (SOF2 multi-scan successive
+    approximation, decoded by the Annex-G coefficient accumulator) and
+    every third remaining doc carries a DRI restart interval (RSTn
+    markers with per-ECS DC resets) — both alter only the byte stream,
+    so all arms share the same formulas while the decode walks real
+    multi-scan / restart syntax. Blob rule holds: mapInPandas, blobs
+    never shuffle; metadata side broadcast."""
     from ..functions.multimodal import image_pixel_stats
     from ..sources.fixtures import ensure_jpeg_color_fixture
 

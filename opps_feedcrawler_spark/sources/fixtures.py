@@ -61,7 +61,7 @@ PNG16_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-png16-fixture-v1.parquet"
 )
 JPEG_COLOR_FIXTURE_PATH = os.path.join(
-    tempfile.gettempdir(), "ofs-jpeg-color-fixture-v2.parquet"
+    tempfile.gettempdir(), "ofs-jpeg-color-fixture-v3.parquet"
 )
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
@@ -702,31 +702,42 @@ def ensure_jpeg_color_fixture() -> str:
     """Create JPEG_COLOR_FIXTURE_PATH if missing; return the path. Real
     baseline COLOR JPEGs (interleaved-MCU YCbCr scan, two DQTs, four
     DHTs) with flat quantization tables so the decode is bit-exact.
-    Every third doc additionally carries a DRI restart interval of 2
-    MCUs (RSTn markers + per-ECS DC predictor resets, T.81 E.1.4 — the
-    shape camera/wasm encoders emit): restarts change only the byte
-    stream, never the decoded pixels, so the oracle formulas are shared
-    with the non-restart arms while the Spark route must walk real
-    restart markers."""
+    Every fifth doc is encoded PROGRESSIVE (SOF2, the full successive
+    approximation + spectral-selection scan script — the layout web
+    optimizers emit); every third remaining doc carries a DRI restart
+    interval of 2 MCUs (RSTn markers + per-ECS DC predictor resets,
+    T.81 E.1.4 — the shape camera/wasm encoders emit). Both change only
+    the BYTE STREAM, never the decoded pixels, so all arms share the
+    same oracle formulas while the Spark route walks real multi-scan /
+    restart-marker syntax."""
     if os.path.exists(JPEG_COLOR_FIXTURE_PATH):
         return JPEG_COLOR_FIXTURE_PATH
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..functions.jpegcodec import FLAT_QT, encode_jpeg_ycc
+    from ..functions.jpegcodec import (
+        FLAT_QT,
+        encode_jpeg_progressive,
+        encode_jpeg_ycc,
+    )
 
     n_docs = _max_doc_id() + 1
     ids, blobs = [], []
     for doc_id in range(n_docs):
         Y, CB, CR, sampling = jpeg_color_planes(doc_id)
-        blobs.append(
-            encode_jpeg_ycc(
+        if doc_id % 5 == 0:
+            blob = encode_jpeg_progressive(
+                Y, CB, CR, sampling=sampling,
+                qtable=FLAT_QT, qtable_chroma=FLAT_QT,
+            )
+        else:
+            blob = encode_jpeg_ycc(
                 Y, CB, CR, sampling=sampling,
                 qtable=FLAT_QT, qtable_chroma=FLAT_QT,
                 restart_interval=2 if doc_id % 3 == 0 else 0,
             )
-        )
+        blobs.append(blob)
         ids.append(doc_id)
     table = pa.table(
         {"doc_id": pa.array(ids, type=pa.int64()),

@@ -198,9 +198,14 @@ def test_zigzag_is_the_spec_permutation():
 
 def test_decode_rejects_unsupported_modes():
     blob = encode_jpeg_pixels(np.zeros((8, 8), dtype=np.uint8), FLAT_QT)
-    progressive = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # arithmetic-coded sequential (SOF9) stays out of scope; progressive
+    # (SOF2) is now a supported mode — see the Annex-G tests below
+    arith = blob.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(progressive)
+        decode_jpeg_pixels(arith)
+    lossless = blob.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(lossless)
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"\x89PNG not a jpeg")
 
@@ -503,3 +508,115 @@ def test_restart_marker_sequence_validated():
     dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
     with pytest.raises(ValueError):
         decode_jpeg_pixels(clean[:i] + dri + clean[i:])
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (SOF2, T.81 Annex G) — spectral selection + successive
+# approximation. Independence argument: the progressive and baseline
+# ENCODERS share only the forward DCT/quantization (_plane_qblocks); their
+# entropy layers are disjoint (multi-scan EOB-run/refinement coding vs
+# single-scan run-length), and the progressive DECODER accumulates
+# coefficients through four distinct scan-type algorithms. Requiring
+# bit-identical pixels from both routes on ARBITRARY content therefore
+# checks the whole Annex-G pipeline against the already-golden baseline
+# path — any mis-read refinement bit, mis-ordered scan, or EOB-run
+# miscount shifts at least one coefficient and breaks equality.
+# ---------------------------------------------------------------------------
+
+from opps_feedcrawler_spark.functions.jpegcodec import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize("qt_name", ["flat", "std"])
+def test_progressive_equals_baseline_grayscale(qt_name):
+    qt = FLAT_QT if qt_name == "flat" else STD_LUMA_QT
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(21, 37), dtype=np.uint8)  # ragged
+    base = decode_jpeg_pixels(encode_jpeg_pixels(img, qt))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, qtable=qt))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 1), (1, 2), (2, 2)])
+def test_progressive_equals_baseline_color(sampling):
+    rng = np.random.default_rng(sum(sampling) * 17)
+    h, w = 24, 40  # ragged vs the (2,2) MCU grid -> non-interleaved
+    sh, sv = sampling  # AC scans cover a smaller grid than padded DC
+    y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    cb = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+    base = decode_jpeg_pixels(
+        encode_jpeg_ycc(y, cb, cr, sampling, FLAT_QT, FLAT_QT)
+    )
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(y, cb, cr, sampling, FLAT_QT, FLAT_QT)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_across_many_blocks():
+    # constant image + std table -> every AC band is zero -> the AC
+    # scans collapse to EOBn symbols spanning all 64 blocks (EOBRUN
+    # encode/decode path with appended length bits)
+    img = np.full((64, 64), 170, dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, qtable=STD_LUMA_QT)
+    base = decode_jpeg_pixels(encode_jpeg_pixels(img, STD_LUMA_QT))
+    assert np.array_equal(decode_jpeg_pixels(blob), base)
+
+
+def test_progressive_block_constant_lossless_subspace():
+    rng = np.random.default_rng(59)
+    y, cb, cr = _block_planes(rng, 32, 48, (2, 2))
+    blob = encode_jpeg_progressive(y, cb, cr, (2, 2), FLAT_QT, FLAT_QT)
+    assert np.array_equal(
+        decode_jpeg_pixels(blob), _expected_rgb(y, cb, cr, (2, 2))
+    )
+
+
+def test_progressive_metadata_flag_and_spark_route(spark):
+    from opps_feedcrawler_spark.functions.multimodal import (
+        decode_image_meta,
+        image_pixel_stats,
+    )
+
+    img = np.kron(
+        np.array([[10, 250, 3]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    blob = encode_jpeg_progressive(img, qtable=FLAT_QT)
+    assert decode_image_meta(blob)["format"] == "jpeg"
+    assert parse_jpeg_meta(blob)["progressive"] is True
+    df = spark.createDataFrame([("p1", blob)], "url string, blob binary")
+    (r,) = image_pixel_stats(df).collect()
+    assert (r.width, r.height) == (24, 8)
+    assert r.sum_px == 64 * (10 + 250 + 3)
+
+
+def test_progressive_rejects_malformed():
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, qtable=FLAT_QT)
+    # truncation inside a later scan -> ValueError (exhausted entropy)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(blob[:-10] + b"\xff\xd9")
+    # a progressive AC scan on a 3-component frame must carry exactly
+    # one component: splice a 3-component AC SOS header into a color
+    # stream's first AC scan
+    rng = np.random.default_rng(3)
+    y, cb, cr = _block_planes(rng, 16, 16, (1, 1))
+    cblob = encode_jpeg_progressive(y, cb, cr, (1, 1), FLAT_QT, FLAT_QT)
+    # find the second SOS (first is the DC scan, ns=3)
+    first = cblob.index(b"\xff\xda")
+    second = cblob.index(b"\xff\xda", first + 2)
+    hdr_len = struct.unpack(">H", cblob[second + 2 : second + 4])[0]
+    old = cblob[second : second + 2 + hdr_len]
+    # rebuild: ns=3 header with same band/approx as the original scan
+    ss, se, ahal = old[-3], old[-2], old[-1]
+    bad_hdr = (
+        b"\xff\xda" + struct.pack(">H", 2 + 1 + 6 + 3)
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, ss, se, ahal])
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(
+            cblob[:second] + bad_hdr + cblob[second + 2 + hdr_len :]
+        )
