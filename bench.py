@@ -110,6 +110,7 @@ HEADLINE_QUERIES = [
     # round-5 additions: color-JPEG pixel decode, 16-bit PNG, CDX
     # random-access record fetch, foreign-WARC interop walk
     "multimodal_jpeg_color",
+    "multimodal_jpeg_exif",
     "multimodal_png16",
     "crawl_cdx_fetch",
     "crawl_warc_foreign",

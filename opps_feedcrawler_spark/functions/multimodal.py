@@ -284,13 +284,115 @@ def encode_jpeg(width: int, height: int, payload: bytes) -> bytes:
     )
 
 
+def encode_app1_exif(orientation: int, byte_order: str = "II") -> bytes:
+    """Build a minimal spec-shaped APP1 Exif segment (marker + length +
+    'Exif\\0\\0' + TIFF header + one-entry IFD0 carrying Orientation,
+    tag 0x0112 SHORT) in either byte order — the fixture twin of
+    _parse_exif_orientation, layout per the public TIFF 6.0 / Exif 2.x
+    structure."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    bo = "<" if byte_order == "II" else ">"
+    tiff = (
+        byte_order.encode()
+        + struct.pack(bo + "HI", 42, 8)            # magic, IFD0 at byte 8
+        + struct.pack(bo + "H", 1)                 # one IFD entry
+        + struct.pack(bo + "HHI", 0x0112, 3, 1)    # Orientation, SHORT, x1
+        + struct.pack(bo + "H", orientation) + b"\x00\x00"
+        + struct.pack(bo + "I", 0)                 # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+JPEG_EXIF_SCHEMA = (
+    "url string, width int, height int, orientation int, progressive boolean"
+)
+
+
+def jpeg_exif_metadata(
+    df: DataFrame, url_col: str = "url", bin_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas EXIF stage: JPEG blobs in, (dims, EXIF orientation,
+    progressive flag) out — the pre-pixel routing pass a crawl corpus
+    runs before any image transform (orientation must be applied before
+    pixels mean anything; progressive informs decode cost). Orientation
+    defaults to 1 (top-left) when the file carries no EXIF, per every
+    consumer's convention. Same narrow no-blob-shuffle shape as
+    image_metadata; malformed blobs quarantine as zero rows with
+    orientation 0."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf[bin_col]:
+                try:
+                    m = parse_jpeg_meta(bytes(b))
+                    rows.append(
+                        {
+                            "width": m["width"],
+                            "height": m["height"],
+                            "orientation": m["exif_orientation"] or 1,
+                            "progressive": m["progressive"],
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {"width": 0, "height": 0, "orientation": 0,
+                         "progressive": False}
+                    )
+            out = pd.DataFrame(rows)
+            out.insert(0, "url", pdf[url_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, JPEG_EXIF_SCHEMA)
+
+
+def _parse_exif_orientation(payload: bytes) -> int | None:
+    """Orientation (tag 0x0112) from an APP1 Exif payload: TIFF header
+    (II/MM byte order, magic 42, IFD0 offset) then a 12-byte-entry IFD0
+    walk. Returns 1..8, or None when absent/defective — EXIF is
+    best-effort metadata on a crawl corpus, never a parse failure."""
+    if not payload.startswith(b"Exif\x00\x00"):
+        return None
+    t = payload[6:]
+    if len(t) < 14:
+        return None
+    if t[:2] == b"II":
+        bo = "<"
+    elif t[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    try:
+        magic, ifd0 = struct.unpack(bo + "HI", t[2:8])
+        if magic != 42 or ifd0 + 2 > len(t):
+            return None
+        (count,) = struct.unpack(bo + "H", t[ifd0 : ifd0 + 2])
+        for e in range(count):
+            off = ifd0 + 2 + 12 * e
+            if off + 12 > len(t):
+                return None
+            tag, typ, n_vals = struct.unpack(bo + "HHI", t[off : off + 8])
+            if tag == 0x0112 and typ == 3 and n_vals == 1:
+                (v,) = struct.unpack(bo + "H", t[off + 8 : off + 10])
+                return v if 1 <= v <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
 def parse_jpeg_meta(blob: bytes) -> dict:
     """REAL JPEG structural parser (stdlib only): walks the T.81 marker
     stream from SOI — skipping fill bytes, standalone markers (TEM,
     RSTn) and length-prefixed segments — to the first SOFn frame header
     and extracts precision/height/width/component-count from their fixed
-    big-endian offsets within it (B.2.2). This is the same
-    header-only dimension extraction image libraries perform for
+    big-endian offsets within it (B.2.2), plus the EXIF Orientation tag
+    from any APP1 Exif segment seen on the way (the field every crawled
+    phone photo needs applied before its pixels mean anything). This is
+    the same header-only extraction image libraries perform for
     ``.size``; no entropy decode is attempted. Raises ValueError on
     malformed input: missing SOI, segment overrun, SOS or EOI before any
     SOF, or truncation."""
@@ -298,6 +400,7 @@ def parse_jpeg_meta(blob: bytes) -> dict:
     if n < 4 or blob[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     i = 2
+    exif_orientation = None
     while i + 2 <= n:
         if blob[i] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {i}")
@@ -317,6 +420,10 @@ def parse_jpeg_meta(blob: bytes) -> dict:
         (seglen,) = struct.unpack(">H", blob[j + 2 : j + 4])
         if seglen < 2 or j + 2 + seglen > n:
             raise ValueError("JPEG segment overruns blob")
+        if marker == 0xE1 and exif_orientation is None:
+            exif_orientation = _parse_exif_orientation(
+                blob[j + 4 : j + 2 + seglen]
+            )
         if marker in _JPEG_SOF_MARKERS:
             if seglen < 8:
                 raise ValueError("JPEG SOF segment too short")
@@ -328,6 +435,7 @@ def parse_jpeg_meta(blob: bytes) -> dict:
                 "precision": precision,
                 "n_components": blob[j + 9],
                 "progressive": marker == 0xC2,
+                "exif_orientation": exif_orientation,
             }
         if marker == 0xDA:
             raise ValueError("JPEG SOS reached before any SOF frame header")

@@ -2909,6 +2909,7 @@ from ..sources.fixtures import (
     GIF_ANIM_FIXTURE_PATH,
     GIF_FIXTURE_PATH,
     JPEG_COLOR_FIXTURE_PATH,
+    JPEG_EXIF_FIXTURE_PATH,
     JPEG_FIXTURE_PATH,
     JPEG_PX_FIXTURE_PATH,
     MP3_FIXTURE_PATH,
@@ -3291,6 +3292,40 @@ def multimodal_jpeg_color(spark, sf_dir):
         "url", F.col("jpeg").alias("blob")
     )
     return image_pixel_stats(joined, "url", "blob")
+
+
+@_q(
+    "multimodal_jpeg_exif",
+    f"""
+    SELECT {_DOC_URL_SQL} AS url,
+           CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(8 * (1 + (doc_id * 5) % 3) AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1
+                     ELSE 1 + (doc_id * 7) % 8 END AS INT) AS orientation,
+           CAST(FALSE AS BOOLEAN) AS progressive
+    FROM read_parquet('{JPEG_EXIF_FIXTURE_PATH}')
+    JOIN documents USING (doc_id)
+    """,
+)
+def multimodal_jpeg_exif(spark, sf_dir):
+    """EXIF orientation routing pass: real APP1 Exif segments (TIFF
+    IFD0, Orientation tag 0x0112) parsed from the marker walk in BOTH
+    byte orders (II little / MM big by doc parity), with every fourth
+    doc carrying no EXIF and defaulting to orientation 1 — the
+    pre-pixel decision every crawled phone photo needs before its
+    pixels mean anything. Oracle re-derives orientation and the SOF
+    dimensions from the generative fixture formulas; a byte-order mixup,
+    a wrong IFD stride, or a missed default kills the hash. Narrow
+    mapInPandas; blobs never shuffle."""
+    from ..functions.multimodal import jpeg_exif_metadata
+    from ..sources.fixtures import ensure_jpeg_exif_fixture
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    jp = spark.read.parquet(ensure_jpeg_exif_fixture())
+    joined = jp.join(F.broadcast(d), "doc_id").select(
+        "url", F.col("jpeg").alias("blob")
+    )
+    return jpeg_exif_metadata(joined, "url", "blob")
 
 
 @_q(
@@ -6653,6 +6688,7 @@ _FRONT_ORDER = [
     # new round-5 entries (all oracle-paired): color-JPEG pixel decode,
     # 16-bit PNG, CDX random-access fetch, foreign-WARC interop
     "multimodal_jpeg_color",
+    "multimodal_jpeg_exif",
     "multimodal_png16",
     "crawl_cdx_fetch",
     "crawl_warc_foreign",
@@ -6709,7 +6745,6 @@ _FRONT_ORDER = [
     "tumbling_hourly_events",
     "sliding_window_events",
     "pivot_priority_status",
-    "scalar_subquery_above_avg",
     # --- 50-slot driver window ends here. Every entry below (and every
     # registered entry not listed, which _apply_registration_order
     # appends after the list) already has at least one green

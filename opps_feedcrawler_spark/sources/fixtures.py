@@ -63,6 +63,9 @@ PNG16_FIXTURE_PATH = os.path.join(
 JPEG_COLOR_FIXTURE_PATH = os.path.join(
     tempfile.gettempdir(), "ofs-jpeg-color-fixture-v3.parquet"
 )
+JPEG_EXIF_FIXTURE_PATH = os.path.join(
+    tempfile.gettempdir(), "ofs-jpeg-exif-fixture-v1.parquet"
+)
 
 _WAV_RATES = (8000, 16000, 22050, 44100)
 
@@ -798,6 +801,52 @@ def ensure_png16_fixture() -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return PNG16_FIXTURE_PATH
+
+
+def ensure_jpeg_exif_fixture() -> str:
+    """Create JPEG_EXIF_FIXTURE_PATH if missing; return the path. JFIF
+    streams with an APP1 Exif segment (TIFF IFD0 Orientation) spliced
+    after SOI: orientation = 1 + (doc_id*7) % 8 covering all eight
+    values, byte order alternating II/little / MM/big by doc parity,
+    and every fourth doc carrying NO EXIF at all (consumers default to
+    orientation 1). Dimension formulas shared verbatim with the DuckDB
+    oracle."""
+    if os.path.exists(JPEG_EXIF_FIXTURE_PATH):
+        return JPEG_EXIF_FIXTURE_PATH
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import encode_app1_exif, encode_jpeg
+
+    n_docs = _max_doc_id() + 1
+    ids, blobs = [], []
+    for doc_id in range(n_docs):
+        w = 8 * (1 + doc_id % 4)
+        h = 8 * (1 + (doc_id * 5) % 3)
+        blob = encode_jpeg(w, h, b"x" * (1 + doc_id % 7))
+        if doc_id % 4 != 3:
+            app1 = encode_app1_exif(
+                1 + (doc_id * 7) % 8, "II" if doc_id % 2 == 0 else "MM"
+            )
+            blob = blob[:2] + app1 + blob[2:]
+        blobs.append(blob)
+        ids.append(doc_id)
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "jpeg": pa.array(blobs, type=pa.binary())}
+    )
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(JPEG_EXIF_FIXTURE_PATH), suffix=".parquet.tmp"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, JPEG_EXIF_FIXTURE_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return JPEG_EXIF_FIXTURE_PATH
 
 
 def ensure_png_fixture() -> str:

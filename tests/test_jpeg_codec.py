@@ -620,3 +620,83 @@ def test_progressive_rejects_malformed():
         decode_jpeg_pixels(
             cblob[:second] + bad_hdr + cblob[second + 2 + hdr_len :]
         )
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (APP1 / TIFF IFD0) — parsed during the marker walk.
+# The hand-spelled segment below is written out field-by-field from the
+# public TIFF 6.0 layout, so the parser is not defined by encode_app1_exif.
+# ---------------------------------------------------------------------------
+
+from opps_feedcrawler_spark.functions.multimodal import (  # noqa: E402
+    encode_app1_exif,
+)
+
+# APP1, big-endian (MM) TIFF: magic 42, IFD0 at offset 8, one entry:
+# tag 0x0112 (Orientation), type 3 (SHORT), count 1, value 6
+# (rotate-90-CW — the classic portrait phone photo).
+HAND_APP1 = (
+    b"\xff\xe1" + struct.pack(">H", 2 + 6 + 8 + 2 + 12 + 4)
+    + b"Exif\x00\x00"
+    + b"MM" + struct.pack(">HI", 42, 8)
+    + struct.pack(">H", 1)
+    + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", 6) + b"\x00\x00"
+    + struct.pack(">I", 0)
+)
+
+
+def test_exif_orientation_hand_spelled_app1():
+    blob = encode_jpeg(32, 16, b"pay")
+    spliced = blob[:2] + HAND_APP1 + blob[2:]
+    meta = parse_jpeg_meta(spliced)
+    assert meta["exif_orientation"] == 6
+    assert (meta["width"], meta["height"]) == (32, 16)
+    # without APP1 the key is None (consumers default to 1)
+    assert parse_jpeg_meta(blob)["exif_orientation"] is None
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_exif_orientation_both_byte_orders(bo):
+    for orientation in range(1, 9):
+        blob = encode_jpeg(8, 8, b"z")
+        spliced = blob[:2] + encode_app1_exif(orientation, bo) + blob[2:]
+        assert parse_jpeg_meta(spliced)["exif_orientation"] == orientation
+
+
+def test_exif_defective_segments_yield_none_not_error():
+    blob = encode_jpeg(8, 8, b"z")
+    good = encode_app1_exif(3, "II")
+    # truncated TIFF body, wrong magic, non-Exif APP1, orientation 9 —
+    # all best-effort None, never a ValueError
+    for app1 in (
+        good[:12] + good[12:18],                       # truncated
+        good.replace(struct.pack("<H", 42), struct.pack("<H", 43), 1),
+        b"\xff\xe1" + struct.pack(">H", 10) + b"XMP\x00abcd",
+        encode_jpeg(1, 1, b"")[:0]  # placeholder, replaced below
+    )[:3]:
+        seg = app1
+        # fix the segment length so the walk stays aligned
+        seg = seg[:2] + struct.pack(">H", len(seg) - 2) + seg[4:]
+        meta = parse_jpeg_meta(blob[:2] + seg + blob[2:])
+        assert meta["exif_orientation"] is None
+    # tail layout: value SHORT (2) + pad (2) + next-IFD offset (4)
+    bad_val = good[:-8] + struct.pack("<H", 9) + good[-6:]
+    assert len(bad_val) == len(good)
+    meta = parse_jpeg_meta(blob[:2] + bad_val + blob[2:])
+    assert meta["exif_orientation"] is None
+
+
+def test_jpeg_exif_metadata_spark_stage(spark):
+    from opps_feedcrawler_spark.functions.multimodal import jpeg_exif_metadata
+
+    b1 = encode_jpeg(24, 8, b"a")
+    b1 = b1[:2] + encode_app1_exif(8, "MM") + b1[2:]
+    b2 = encode_jpeg(16, 16, b"b")              # no EXIF -> default 1
+    b3 = b"\xff\xd8truncated"                   # malformed -> quarantine row
+    df = spark.createDataFrame(
+        [("u1", b1), ("u2", b2), ("u3", b3)], "url string, blob binary"
+    )
+    rows = {r.url: r for r in jpeg_exif_metadata(df).collect()}
+    assert (rows["u1"].width, rows["u1"].orientation) == (24, 8)
+    assert (rows["u2"].width, rows["u2"].orientation) == (16, 1)
+    assert (rows["u3"].width, rows["u3"].orientation) == (0, 0)
