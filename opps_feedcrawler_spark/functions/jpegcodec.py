@@ -1194,6 +1194,7 @@ def encode_jpeg_progressive(
     sampling: tuple[int, int] = (2, 2),
     qtable: np.ndarray | None = None,
     qtable_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a real progressive (SOF2) JPEG with the classic scan
     script shape: an Al=1 DC first approximation, per-component
@@ -1203,7 +1204,9 @@ def encode_jpeg_progressive(
     takes pre-subsampled chroma planes like encode_jpeg_ycc. Quantized
     coefficients are identical to the baseline encoder's (_plane_qblocks),
     so progressive and baseline encodings of the same planes decode to
-    identical pixels."""
+    identical pixels. ``restart_interval`` emits DRI + per-scan RSTn
+    markers (E.1.4 applies per scan in progressive mode: predictors,
+    EOB runs and buffered correction bits all reset at each marker)."""
     y = np.asarray(y)
     if y.ndim != 2 or y.dtype != np.uint8:
         raise ValueError("expected (H, W) uint8 luma plane")
@@ -1296,12 +1299,17 @@ def encode_jpeg_progressive(
                 for gx in range(nbw):
                     yield [(ci, gy, gx)]
 
+    ri = int(restart_interval)
+
     scans = []
     for members, ss, se, ah, al, in script:
         bw_out = _BitWriter()
         if ss == 0 and ah == 0:  # DC initial
             pred = [0] * len(comps)
-            for unit in dc_units(list(members)):
+            for u, unit in enumerate(dc_units(list(members))):
+                if ri and u and u % ri == 0:
+                    bw_out.restart(u // ri - 1)
+                    pred = [0] * len(comps)
                 for ci, gy, gx in unit:
                     v = int(comps[ci][0][gy, gx, 0]) >> al
                     diff = v - pred[ci]
@@ -1313,7 +1321,9 @@ def encode_jpeg_progressive(
                         bits = diff if diff >= 0 else diff + (1 << cat) - 1
                         bw_out.write(bits, cat)
         elif ss == 0:  # DC refinement
-            for unit in dc_units(list(members)):
+            for u, unit in enumerate(dc_units(list(members))):
+                if ri and u and u % ri == 0:
+                    bw_out.restart(u // ri - 1)
                 for ci, gy, gx in unit:
                     bw_out.write((int(comps[ci][0][gy, gx, 0]) >> al) & 1, 1)
         elif ah == 0:  # AC initial (one component)
@@ -1321,6 +1331,9 @@ def encode_jpeg_progressive(
             grid, (nbh, nbw), _hi, _vi, _tq = comps[ci]
             sw = _ProgScanWriter(bw_out, ac_enc)
             for b in range(nbh * nbw):
+                if ri and b and b % ri == 0:
+                    sw.flush_eobrun()
+                    bw_out.restart(b // ri - 1)
                 row = grid[b // nbw, b % nbw]
                 r = 0
                 for k in range(ss, se + 1):
@@ -1348,6 +1361,9 @@ def encode_jpeg_progressive(
             grid, (nbh, nbw), _hi, _vi, _tq = comps[ci]
             sw = _ProgScanWriter(bw_out, ac_enc)
             for b in range(nbh * nbw):
+                if ri and b and b % ri == 0:
+                    sw.flush_eobrun()
+                    bw_out.restart(b // ri - 1)
                 row = grid[b // nbw, b % nbw]
                 absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
                 eob = 0  # index AFTER the last newly-significant coef
@@ -1393,6 +1409,7 @@ def encode_jpeg_progressive(
     sof2 = struct.pack(">BHHB", 8, h, w, nc) + bytes([1, (sh << 4) | sv, 0])
     if color:
         sof2 += bytes([2, 0x11, 1, 3, 0x11, 1])
+    dri = _seg(0xDD, struct.pack(">H", ri)) if ri else b""
     dht = (
         b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
         + b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
@@ -1405,6 +1422,7 @@ def encode_jpeg_progressive(
         + _seg(0xDB, dqt)
         + _seg(0xC2, sof2)
         + _seg(0xC4, dht)
+        + dri
     )
     for members, ss, se, ah, al, entropy in scans:
         sos = bytes([len(members)])

@@ -700,3 +700,33 @@ def test_jpeg_exif_metadata_spark_stage(spark):
     assert (rows["u1"].width, rows["u1"].orientation) == (24, 8)
     assert (rows["u2"].width, rows["u2"].orientation) == (16, 1)
     assert (rows["u3"].width, rows["u3"].orientation) == (0, 0)
+
+
+@pytest.mark.parametrize("ri", [1, 3])
+def test_progressive_with_restart_intervals(ri):
+    # E.1.4 applies per scan in progressive mode: predictors, EOB runs
+    # and buffered correction bits reset at every RSTn — all four scan
+    # types walk real restart markers here, and the result must still
+    # equal the baseline decode bit-for-bit.
+    rng = np.random.default_rng(90 + ri)
+    img = rng.integers(0, 256, size=(21, 37), dtype=np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg_pixels(img, STD_LUMA_QT))
+    blob = encode_jpeg_progressive(
+        img, qtable=STD_LUMA_QT, restart_interval=ri
+    )
+    assert b"\xff\xdd" in blob
+    assert np.array_equal(decode_jpeg_pixels(blob), base)
+    # color 4:2:0 with restarts in the interleaved DC scan as well
+    h, w = 24, 40
+    y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+    base = decode_jpeg_pixels(
+        encode_jpeg_ycc(y, cb, cr, (2, 2), FLAT_QT, FLAT_QT)
+    )
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(
+            y, cb, cr, (2, 2), FLAT_QT, FLAT_QT, restart_interval=ri
+        )
+    )
+    assert np.array_equal(prog, base)
