@@ -583,7 +583,8 @@ def main() -> None:
     crawl = crawl_bench(args.cores)
     probe_post = probe(args.cores)
     probe_pre_q = probe(args.cores)
-    queries = query_bench(args.cores)
+    query_reps = int(os.environ.get("OFS_QUERY_REPS", "2"))
+    queries = query_bench(args.cores, reps=query_reps)
     probe_post_q = probe(args.cores)
     ann = ann_scale_bench(args.cores)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -600,7 +601,7 @@ def main() -> None:
         "probe_after_crawl": probe_post,
         "probe_before_queries": probe_pre_q,
         "probe_after_queries": probe_post_q,
-        "query_reps": 2,
+        "query_reps": query_reps,
     }
     detail_path = os.path.join(REPO, "BENCH", "bench_detail.json")
     try:
@@ -639,7 +640,7 @@ def main() -> None:
         "probe_mem_copies_queries": [
             probe_pre_q["mem_copies"], probe_post_q["mem_copies"]
         ],
-        "query_reps": 2,
+        "query_reps": query_reps,
         "detail": detail_path,
     }
     line = json.dumps(compact)

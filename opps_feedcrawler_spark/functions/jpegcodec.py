@@ -608,6 +608,8 @@ def _extend(bits: int, cat: int) -> int:
 def _parse_sof(data: bytes):
     """Shared SOF frame-header parse + supported-shape validation;
     returns (h, w, comps) with comps = [(cid, hi, vi, tq), ...]."""
+    if len(data) < 6:
+        raise ValueError("SOF truncated")
     prec, h, w, nc = struct.unpack(">BHHB", data[:6])
     if prec != 8:
         raise NotImplementedError("only 8-bit precision")

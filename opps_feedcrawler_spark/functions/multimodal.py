@@ -329,6 +329,9 @@ def jpeg_exif_metadata(
             rows = []
             for b in pdf[bin_col]:
                 try:
+                    # bytes(None) raises TypeError — a NULL blob (failed
+                    # fetch) is routine crawl input and quarantines like
+                    # any other malformed row, never a stage failure
                     m = parse_jpeg_meta(bytes(b))
                     rows.append(
                         {
@@ -338,7 +341,7 @@ def jpeg_exif_metadata(
                             "progressive": m["progressive"],
                         }
                     )
-                except ValueError:
+                except (ValueError, TypeError):
                     rows.append(
                         {"width": 0, "height": 0, "orientation": 0,
                          "progressive": False}

@@ -6690,8 +6690,8 @@ _FRONT_ORDER = [
     # Round-5 window (VERDICT r4 #7's budget rule: new + changed must
     # fit the 50-slot window, updated in the same commits that add
     # them). 146/146 cumulative coverage held at r4; this window keeps
-    # it: 4 new entries, 8 implementation-changed, 12 rows-only
-    # (per-round evidence), and 26 rotation slots for the relational
+    # it: 5 new entries, 8 implementation-changed, 12 rows-only
+    # (per-round evidence), and 25 rotation slots for the relational
     # pack whose last green rows date to rounds 1-2.
     # ------------------------------------------------------------------
     # new round-5 entries (all oracle-paired): color-JPEG pixel decode,
@@ -6773,7 +6773,6 @@ _FRONT_ORDER = [
     "crawl_redirect_resolve",
     "crawl_conditional_get",
     "crawl_adaptive_budget",
-    "crawl_host_pld",
     "decontaminate_ngram_overlap",
     "graph_hits_2iter",
     "crawl_html_meta",
@@ -6783,7 +6782,6 @@ _FRONT_ORDER = [
     "text_quality_linear_score",
     "text_bigram_lm_score",
     "dedup_within_doc_lines",
-    "crawl_sitemap_entries",
     "graph_anchor_text",
     "text_c4_filter_chain",
     "text_tfidf_topk",

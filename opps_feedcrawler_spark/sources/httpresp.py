@@ -148,18 +148,28 @@ def parse_http_response_py(payload: bytes | None) -> dict:
             value.strip().decode("latin-1")
         )
     body = buf[hdr_end + 4 :]
-    # transfer coding first (transport framing) ...
+    # transfer coding first (transport framing): RFC 9112 §6.1 — TE is a
+    # comma-separated list applied in order, and chunked MUST be the
+    # final coding. We decode chunked; any OTHER coding in the list
+    # (e.g. 'gzip, chunked' — the body stays gzip-transfer-coded after
+    # dechunking, or a bare 'gzip') leaves transfer-coded bytes we would
+    # misread as payload, so those quarantine. 'chunked' anywhere but
+    # last is malformed per spec — also quarantined.
     te = headers.get("transfer-encoding", "").lower().strip()
-    if "chunked" in te:
+    codings = [c.strip() for c in te.split(",") if c.strip()]
+    codings = [c for c in codings if c != "identity"]
+    if codings and codings[-1] == "chunked":
+        if len(codings) > 1:
+            return bad  # residual transfer coding under the chunking
         dechunked = _dechunk(body)
         if dechunked is None:
             return bad
         body = dechunked
-    elif te and te != "identity":
-        # unsupported transfer coding (e.g. 'Transfer-Encoding: gzip'):
-        # the body is still transfer-coded — quarantine rather than
-        # misread it as framed bytes, mirroring the unknown
-        # content-coding branch below
+    elif codings:
+        # unsupported transfer coding (e.g. 'Transfer-Encoding: gzip',
+        # or misplaced 'chunked, gzip'): the body is still
+        # transfer-coded — quarantine rather than misread it as framed
+        # bytes, mirroring the unknown content-coding branch below
         return bad
     elif "content-length" in headers:
         try:

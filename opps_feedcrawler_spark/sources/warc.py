@@ -553,7 +553,9 @@ def fetch_records_gz(archives: DataFrame, requests: DataFrame) -> DataFrame:
                         "warc_type": None,
                         "payload_digest": None,
                     }
-                    sliced = buf[off : off + mlen]
+                    # negative offsets must not alias a valid member via
+                    # Python's end-relative slicing — reject outright
+                    sliced = buf[off : off + mlen] if off >= 0 else b""
                     inflated = None
                     if len(sliced) == mlen and mlen > 0:
                         try:
@@ -595,7 +597,29 @@ def fetch_records_gz(archives: DataFrame, requests: DataFrame) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    return joined.mapInPandas(fetch, FETCH_GZ_SCHEMA)
+    fetched = joined.mapInPandas(fetch, FETCH_GZ_SCHEMA)
+    # the shard join is inner, so a request naming a shard with NO
+    # archive row (missing/unregistered shard) would otherwise vanish —
+    # violating the one-row-per-request contract. Re-attach those as
+    # fetch_ok=false rows via a narrow anti-join (index rows only, no
+    # blobs move).
+    orphans = (
+        requests.select("shard", "offset", "record_length")
+        .join(archives.select("shard"), "shard", "left_anti")
+        .select(
+            F.col("shard").cast("bigint"),
+            F.col("offset").cast("bigint"),
+            F.col("record_length").cast("bigint"),
+            F.lit(False).alias("fetch_ok"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_date"),
+            F.lit(None).cast("bigint").alias("content_length"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit(None).cast("string").alias("warc_type"),
+            F.lit(None).cast("string").alias("payload_digest"),
+        )
+    )
+    return fetched.unionByName(orphans)
 
 
 def cdx_index_gz(archives: DataFrame) -> DataFrame:

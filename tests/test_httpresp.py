@@ -158,3 +158,38 @@ def test_spark_wrapper_passthrough_and_quarantine(spark):
     assert bytes(got["u2"].body) == b"gamma"
     assert got["u3"].http_ok is False and got["u3"].body is None
     assert all(got[f"u{i}"].http_ok for i in range(3))
+
+
+def test_multi_coding_transfer_encoding_quarantines():
+    """RFC 9112 §6.1: TE is an ordered list and chunked must be FINAL.
+    'gzip, chunked' leaves a gzip-transfer-coded body after dechunking;
+    'chunked, gzip' is malformed outright. Both must quarantine — a
+    plain contains-'chunked' check would dechunk and silently hand back
+    still-coded bytes as the payload (review finding, round 5)."""
+    import gzip as _gzip
+
+    from opps_feedcrawler_spark.sources.httpresp import (
+        build_http_response_py,
+    )
+
+    gz = _gzip.compress(b"hello world")
+    chunked = (
+        format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    for te in (b"gzip, chunked", b"chunked, gzip"):
+        env = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: " + te + b"\r\n\r\n"
+            + chunked
+        )
+        r = parse_http_response_py(env)
+        assert r["http_ok"] is False and r["body"] is None, te
+    # plain chunked (with a noisy 'identity' member) still decodes
+    env = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity, chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n"
+    )
+    r = parse_http_response_py(env)
+    assert r["http_ok"] and r["body"] == b"abc"
+    # build_http_response_py interop stays green (single chunked coding)
+    r2 = parse_http_response_py(build_http_response_py(b"xy", mode="chunked"))
+    assert r2["http_ok"] and r2["body"] == b"xy"

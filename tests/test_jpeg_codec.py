@@ -730,3 +730,26 @@ def test_progressive_with_restart_intervals(ri):
         )
     )
     assert np.array_equal(prog, base)
+
+
+def test_truncated_sof_raises_valueerror_not_struct_error():
+    # review finding (round 5): _parse_sof unpacked before length-check,
+    # leaking struct.error through the documented ValueError surface
+    blob = (
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 7) + b"\x08\x00\x10\x00\x10"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(blob)
+
+
+def test_jpeg_exif_stage_null_blob_quarantines(spark):
+    from opps_feedcrawler_spark.functions.multimodal import jpeg_exif_metadata
+
+    df = spark.createDataFrame(
+        [("u-null", None), ("u-ok", encode_jpeg(8, 8, b"x"))],
+        "url string, blob binary",
+    )
+    rows = {r.url: r for r in jpeg_exif_metadata(df).collect()}
+    assert rows["u-null"].orientation == 0 and rows["u-null"].width == 0
+    assert rows["u-ok"].orientation == 1 and rows["u-ok"].width == 8

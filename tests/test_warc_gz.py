@@ -334,3 +334,41 @@ def test_fetch_records_gz_plan_broadcasts_requests(spark):
     )
     plan = fetch_records_gz(shards, reqs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fetch_records_gz_orphan_shard_and_negative_offset(spark):
+    """Review findings (round 5): a request naming a shard with NO
+    archive row must still produce its fetch_ok=false row (the inner
+    shard join would silently drop it), and a negative offset must not
+    alias a valid member via Python end-relative slicing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from opps_feedcrawler_spark.sources.warc import fetch_records_gz
+
+    rows = [
+        (0, "http://h/a", datetime(2024, 3, 1), b"payload-a"),
+        (0, "http://h/b", datetime(2024, 3, 1), b"payload-b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard long, url string, warc_date timestamp, payload binary"
+    )
+    shards = to_warc_gz_sharded(df)
+    cdx = cdx_index_gz(shards).collect()
+    last = max(cdx, key=lambda r: r.offset)
+    shard_len = last.offset + last.record_length
+    reqs = spark.createDataFrame(
+        [
+            (0, int(cdx[0].offset), int(cdx[0].record_length)),  # valid
+            (99, 0, int(cdx[0].record_length)),     # shard does not exist
+            # negative offset that would alias the LAST member end-wise
+            (0, int(last.offset) - shard_len, int(last.record_length)),
+        ],
+        "shard long, offset long, record_length long",
+    )
+    out = {(r.shard, r.offset): r for r in fetch_records_gz(shards, reqs).collect()}
+    assert len(out) == 3  # one row per request, orphans included
+    assert out[(0, cdx[0].offset)].fetch_ok
+    assert out[(99, 0)].fetch_ok is False
+    assert out[(99, 0)].url is None
+    neg = out[(0, last.offset - shard_len)]
+    assert neg.fetch_ok is False and neg.payload is None
