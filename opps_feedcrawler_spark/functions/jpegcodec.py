@@ -676,7 +676,13 @@ def decode_jpeg_pixels(blob: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:
             break
+        if j + 3 > n:
+            # stream ends inside the segment-length field: contractual
+            # ValueError, not a short-buffer struct.error
+            raise ValueError("JPEG segment length truncated")
         (seglen,) = struct.unpack(">H", blob[j + 1 : j + 3])
+        if seglen < 2 or j + 1 + seglen > n:
+            raise ValueError("JPEG segment overruns blob")
         data = blob[j + 3 : j + 1 + seglen]
         if marker == 0xDB:
             _parse_dqt(data, qtables)

@@ -689,11 +689,14 @@ def decode_png_pixels(blob: bytes):
 
 def decode_image_pixels(blob: bytes):
     """Pixel decode. PNG is REAL (decode_png_pixels — inflate + full
-    unfilter) and baseline grayscale JPEG is REAL too
-    (functions/jpegcodec.decode_jpeg_pixels — stream-carried DQT/DHT,
-    Huffman entropy decode, dequant, inverse DCT, level shift); other
-    formats and non-baseline JPEG modes raise NotImplementedError (a
-    real deploy swaps in PIL/libvips here)."""
+    unfilter; gray 1/2/4/8/16-bit, paletted, GA/RGB/RGBA at 8 and 16
+    bits, Adam7), JPEG is REAL (functions/jpegcodec.decode_jpeg_pixels —
+    baseline AND progressive, grayscale and 3-component YCbCr with
+    chroma upsample + BT.601 convert, restart intervals), and GIF first
+    frames are REAL (gifcodec). Output is (H, W, C): uint8, or uint16
+    for 16-bit PNGs. Formats without a decoder here (and the remaining
+    JPEG modes: lossless, arithmetic, hierarchical) raise
+    NotImplementedError (a real deploy swaps in PIL/libvips)."""
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
     if blob[:2] == b"\xff\xd8":
@@ -711,23 +714,30 @@ def decode_image_pixels(blob: bytes):
 
 
 def resize_png(blob: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor thumbnail resize for grayscale-8 PNGs:
-    decode_png_pixels → numpy index-map resample → re-encode with the
-    real encode_png. The standard mapInPandas thumbnail stage runs this
-    per blob; color PNGs raise NotImplementedError (encode_png writes
-    grayscale — the one remaining encoder arm)."""
+    """REAL nearest-neighbor thumbnail resize for every PNG shape the
+    decoder produces: decode_png_pixels → numpy index-map resample →
+    re-encode with the real encode_png at the SAME sample depth and a
+    color type matching the decoded channel count (gray / gray+alpha /
+    RGB / RGBA; paletted input decodes to RGB and re-encodes as
+    truecolor). 16-bit samples stay 16-bit — encode_png takes big-endian
+    2-byte samples per RFC 2083 §2.3, so uint16 planes are byte-swapped
+    to network order, never truncated to their low byte."""
     import numpy as np
 
     if width <= 0 or height <= 0:
         raise ValueError("resize dimensions must be positive")
     px = decode_png_pixels(blob)
-    if px.shape[2] != 1:
-        raise NotImplementedError("re-encode supports grayscale PNGs only")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[px.shape[2]]
     src_h, src_w = px.shape[:2]
     rows = (np.arange(height) * src_h) // height
     cols = (np.arange(width) * src_w) // width
-    resized = px[rows][:, cols, 0]
-    return encode_png(width, height, resized.tobytes())
+    resized = px[rows][:, cols]
+    if resized.dtype == np.uint16:
+        return encode_png(
+            width, height, resized.astype(">u2").tobytes(),
+            bit_depth=16, color_type=color_type,
+        )
+    return encode_png(width, height, resized.tobytes(), color_type=color_type)
 
 
 PIXEL_STATS_SCHEMA = (
@@ -746,14 +756,30 @@ def image_pixel_stats(
     Strict by contract: feed it blobs already routed/validated by
     image_metadata (format not in {unknown, invalid}) — the metadata
     stage is the crawl-corpus quarantine layer; here a parse error is a
-    pipeline bug and raises."""
+    pipeline bug and raises. Declared CAPABILITY limits are different:
+    a CMYK/12-bit/arithmetic-coded JPEG has a perfectly valid SOF, so it
+    sails through the metadata gate as format 'jpeg' and only the pixel
+    decoder can discover it's outside the supported envelope
+    (NotImplementedError). Real corpora contain those, so they
+    quarantine to an all-zero stats row (n_px = 0 is unreachable for any
+    decoded image — the row-level filter) instead of failing a 100 TB
+    stage."""
     import numpy as np
+
+    _zero = {
+        "width": 0, "height": 0, "n_px": 0,
+        "sum_px": 0, "min_px": 0, "max_px": 0,
+    }
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for b in pdf[bin_col]:
-                px = decode_image_pixels(bytes(b))
+                try:
+                    px = decode_image_pixels(bytes(b))
+                except NotImplementedError:
+                    rows.append(dict(_zero))
+                    continue
                 flat = px.reshape(-1).astype(np.int64)
                 rows.append(
                     {
@@ -1817,10 +1843,12 @@ def byte_histogram_features(
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Thumbnail resize. Grayscale PNG, baseline grayscale JPEG and GIF
-    are REAL (decode → nearest-neighbor resample → re-encode with the
-    real encoders); other formats need a pixel decoder absent from this
-    container (same swap point as decode_image_pixels)."""
+    """Thumbnail resize. PNG (all decoded shapes, 8- and 16-bit), JPEG
+    (grayscale and color — color thumbnails re-encode through the RGB
+    arm of encode_jpeg_pixels) and GIF are REAL (decode →
+    nearest-neighbor resample → re-encode with the real encoders);
+    other formats need a pixel decoder absent from this container (same
+    swap point as decode_image_pixels)."""
     if blob[:8] == _PNG_SIG:
         return resize_png(blob, width, height)
     if blob[:4] == b"GIF8":
@@ -1846,7 +1874,10 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
         src_h, src_w = px.shape[:2]
         rows = (np.arange(height) * src_h) // height
         cols = (np.arange(width) * src_w) // width
-        return encode_jpeg_pixels(px[rows][:, cols, 0])
+        # keep the channel axis: (H, W, 1) re-encodes grayscale,
+        # (H, W, 3) re-encodes color — slicing channel 0 here would
+        # silently thumbnail the RED plane of a color photo
+        return encode_jpeg_pixels(px[rows][:, cols])
     raise NotImplementedError(
         "resize for this format requires PIL/libvips; "
         "not available in this environment"

@@ -144,9 +144,14 @@ def parse_http_response_py(payload: bytes | None) -> dict:
         name, sep, value = line.partition(b":")
         if not sep:
             return bad
-        headers[name.strip().lower().decode("ascii", "replace")] = (
-            value.strip().decode("latin-1")
-        )
+        key = name.strip().lower().decode("ascii", "replace")
+        val = value.strip().decode("latin-1")
+        # RFC 9110 §5.3: repeated field lines are semantically ONE
+        # comma-joined list. Keeping only the last line would let
+        # 'Transfer-Encoding: gzip' + 'Transfer-Encoding: chunked'
+        # masquerade as bare chunked and misread still-coded bytes —
+        # the exact class the multi-coding quarantine below exists for.
+        headers[key] = headers[key] + ", " + val if key in headers else val
     body = buf[hdr_end + 4 :]
     # transfer coding first (transport framing): RFC 9112 §6.1 — TE is a
     # comma-separated list applied in order, and chunked MUST be the
@@ -172,10 +177,18 @@ def parse_http_response_py(payload: bytes | None) -> dict:
         # bytes, mirroring the unknown content-coding branch below
         return bad
     elif "content-length" in headers:
+        # repeated identical Content-Length lines collapse to one
+        # (RFC 9112 §6.3 permits this); differing values are an
+        # unrecoverable framing conflict -> quarantine
+        cl_vals = {v.strip() for v in headers["content-length"].split(",")}
+        if len(cl_vals) != 1:
+            return bad
         try:
-            declared = int(headers["content-length"])
+            declared = int(cl_vals.pop())
         except ValueError:
             return bad
+        if declared < 0:
+            return bad  # Content-Length is 1*DIGIT; negatives malformed
         if declared > len(body):
             return bad  # torn record
         body = body[:declared]

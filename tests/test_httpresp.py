@@ -193,3 +193,32 @@ def test_multi_coding_transfer_encoding_quarantines():
     # build_http_response_py interop stays green (single chunked coding)
     r2 = parse_http_response_py(build_http_response_py(b"xy", mode="chunked"))
     assert r2["http_ok"] and r2["body"] == b"xy"
+
+
+def test_repeated_header_lines_merge_per_rfc9110():
+    # Two Transfer-Encoding field LINES are semantically the one list
+    # 'gzip, chunked' (RFC 9110 §5.3) — a last-line-wins header dict
+    # would treat this as bare chunked and hand back still-gzip-coded
+    # bytes as the body. Must quarantine exactly like the one-line form.
+    env = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n"
+    )
+    r = parse_http_response_py(env)
+    assert r["http_ok"] is False and r["body"] is None
+    # repeated IDENTICAL Content-Length lines collapse to one (RFC 9112
+    # §6.3 allows this); DIFFERING values are an unrecoverable framing
+    # conflict; a negative length is malformed outright
+    ok = parse_http_response_py(
+        b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n"
+        b"Content-Length: 3\r\n\r\nabcdef"
+    )
+    assert ok["http_ok"] and ok["body"] == b"abc"
+    for hdrs in (
+        b"Content-Length: 3\r\nContent-Length: 5\r\n",
+        b"Content-Length: -5\r\n",
+    ):
+        r = parse_http_response_py(
+            b"HTTP/1.1 200 OK\r\n" + hdrs + b"\r\nabcdef"
+        )
+        assert r["http_ok"] is False, hdrs

@@ -753,3 +753,62 @@ def test_jpeg_exif_stage_null_blob_quarantines(spark):
     rows = {r.url: r for r in jpeg_exif_metadata(df).collect()}
     assert rows["u-null"].orientation == 0 and rows["u-null"].width == 0
     assert rows["u-ok"].orientation == 1 and rows["u-ok"].width == 8
+
+
+def test_resize_image_color_jpeg_keeps_channels():
+    """Review r5: once decode_jpeg_pixels learned color, the resize arm's
+    channel-0 slice silently thumbnailed the RED plane of color photos
+    as grayscale. A saturated-red image must thumbnail to red, and the
+    output must stay 3-channel."""
+    from opps_feedcrawler_spark.functions.multimodal import resize_image
+
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    thumb = decode_jpeg_pixels(resize_image(encode_jpeg_pixels(rgb), 8, 8))
+    assert thumb.shape == (8, 8, 3)
+    means = thumb.reshape(-1, 3).mean(axis=0)
+    assert means[0] > 180 and means[1] < 20 and means[2] < 20
+
+
+def test_truncated_segment_length_raises_valueerror():
+    """Review r5: a stream ending inside a marker's 2-byte length field
+    hit struct.unpack with a short buffer and leaked struct.error past
+    the module's 'malformed streams raise ValueError' contract (the
+    same class 314ced6 fixed for truncated SOF payloads)."""
+    for bad in (
+        b"\xff\xd8\xff\xdb",        # ends at the marker code
+        b"\xff\xd8\xff\xdb\x00",    # one length byte present
+        b"\xff\xd8\xff\xc4\x00\x40",  # declared length overruns blob
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(bad)
+
+
+def test_capability_limited_jpeg_quarantines_in_pixel_stage(spark):
+    """Review r5: a CMYK (4-component) JPEG has a perfectly valid SOF, so
+    decode_image_meta reports format='jpeg' and the metadata gate passes
+    it to image_pixel_stats — where the decoder's declared capability
+    limit (NotImplementedError) used to propagate and kill the whole
+    stage. Real corpora contain CMYK/arithmetic JPEGs from print
+    workflows; they must land as an all-zero quarantine row (n_px = 0,
+    unreachable for any decoded image) next to healthy neighbors."""
+    from opps_feedcrawler_spark.functions.multimodal import (
+        decode_image_meta,
+        image_pixel_stats,
+    )
+
+    # SOI + SOF0 declaring 8-bit 8x8 with FOUR components (B.2.2 layout)
+    cmyk = (
+        b"\xff\xd8\xff\xc0\x00\x14\x08\x00\x08\x00\x08\x04"
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+        + b"\xff\xd9"
+    )
+    meta = decode_image_meta(cmyk)
+    assert meta["format"] == "jpeg" and meta["width"] == 8  # gate passes it
+    ok = encode_jpeg_pixels(np.full((8, 8), 128, dtype=np.uint8), FLAT_QT)
+    df = spark.createDataFrame(
+        [("u-cmyk", cmyk), ("u-ok", ok)], "url string, blob binary"
+    )
+    rows = {r.url: r for r in image_pixel_stats(df).collect()}
+    assert rows["u-cmyk"].n_px == 0 and rows["u-cmyk"].width == 0
+    assert rows["u-ok"].n_px == 64 and rows["u-ok"].width == 8

@@ -534,3 +534,34 @@ def test_decode_dimension_bomb_fails_fast():
         with pytest.raises(ValueError, match="length mismatch"):
             decode_png_pixels(bomb)
         assert time.monotonic() - t0 < 1.0
+
+
+def test_resize_png_16bit_and_color_preserve_samples():
+    """Review r5: 16-bit PNGs decode to uint16, and the old resize arm
+    re-encoded the raw 2-byte samples as 8-bit rows (silent corruption);
+    color PNGs raised NotImplementedError despite encode_png growing a
+    color_type arm. Resize must round-trip exactly at the source depth
+    and channel count (filter-0 encode + nearest-neighbor is lossless on
+    the picked pixels)."""
+    rng = np.random.default_rng(7)
+    # 16-bit grayscale: values above 255 must survive
+    g16 = rng.integers(0, 65536, (8, 8), dtype=np.uint16)
+    blob16 = encode_png(8, 8, g16.astype(">u2").tobytes(), bit_depth=16)
+    out = decode_png_pixels(resize_png(blob16, 4, 4))
+    assert out.dtype == np.uint16
+    exp = g16[(np.arange(4) * 8) // 4][:, (np.arange(4) * 8) // 4]
+    assert np.array_equal(out[:, :, 0], exp)
+    # 8-bit RGB / RGBA / gray+alpha: channel count round-trips
+    for ctype, ch in ((2, 3), (6, 4), (4, 2)):
+        px = rng.integers(0, 256, (6, 6, ch), dtype=np.uint8)
+        blob = encode_png(6, 6, px.tobytes(), color_type=ctype)
+        got = decode_png_pixels(resize_png(blob, 3, 3))
+        expc = px[(np.arange(3) * 6) // 3][:, (np.arange(3) * 6) // 3]
+        assert got.shape == (3, 3, ch) and np.array_equal(got, expc), ctype
+    # 16-bit RGB too (depth x color combined)
+    c16 = rng.integers(0, 65536, (4, 4, 3), dtype=np.uint16)
+    blob = encode_png(4, 4, c16.astype(">u2").tobytes(), bit_depth=16,
+                      color_type=2)
+    got = decode_png_pixels(resize_png(blob, 2, 2))
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, c16[(np.arange(2) * 4) // 2][:, (np.arange(2) * 4) // 2])
