@@ -6704,10 +6704,14 @@ _FRONT_ORDER = [
     # implementation changed since last green row: jpegcodec decoder
     # rework (color scan path), PNG 16-bit depth threading, sitemap
     # zlib.error quarantine, PSL cross-class rule ordering, HTTP
-    # transfer-coding quarantine
+    # transfer-coding quarantine + repeated-field-line merge,
+    # image_pixel_stats capability quarantine (gif_pixels shares that
+    # stage — swapped in for distinct_flag_pairs, whose operator class
+    # distinct_agg_segments still represents in-window)
     "multimodal_jpeg_pixels",
     "multimodal_png_pixels",
     "multimodal_png_palette",
+    "multimodal_gif_pixels",
     "crawl_sitemap_entries",
     "crawl_sitemap_gzip",
     "crawl_sitemap_index",
@@ -6734,7 +6738,6 @@ _FRONT_ORDER = [
     "semi_join_active_customers",
     "anti_join_idle_customers",
     "distinct_agg_segments",
-    "distinct_flag_pairs",
     "rollup_region_nation",
     "cube_order_status",
     "grouping_sets_orders",
@@ -6801,7 +6804,7 @@ _FRONT_ORDER = [
     "embedding_quantize_int8",
     "multimodal_mp3_meta",
     "multimodal_image_meta",
-    "multimodal_gif_pixels",
+    "distinct_flag_pairs",
     "streaming_seed_ingest",
     "crawl_robots_wildcard",
     # dedup/ANN/text pipeline representatives
